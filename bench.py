@@ -1,0 +1,73 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the synthetic
+pages PIP-join pipeline (the north-star workload) at a fixed page
+count. value = total wall seconds across queries (lower is better);
+per-query seconds in "queries"; pages/sec throughput in "extra".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from geo_inference_spark.operators.pip_join import pages_per_area  # noqa: E402
+from geo_inference_spark.session import get_spark  # noqa: E402
+from geo_inference_spark.sources.pages import pages_df, synth_admin_polygons  # noqa: E402
+
+N_PAGES = int(os.environ.get("BENCH_PAGES", "300000"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    spark = get_spark("bench", cores=cores)
+    timings: dict[str, float] = {}
+
+    # warm the JVM + python workers once
+    spark.range(1000).count()
+
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+
+    # north-star workload: synth pages -> geocode -> PIP join -> agg
+    pages = pages_df(spark, N_PAGES, partitions=cores * 2)
+    polys = synth_admin_polygons(n_areas=64)
+    t0 = time.perf_counter()
+    out = pages_per_area(spark, pages, polys, res=8)
+    out.count()
+    pip_sec = time.perf_counter() - t0
+    timings["pages_pip_join"] = round(pip_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": {
+                    "pages_pip_join_pages_per_sec": round(N_PAGES / pip_sec),
+                    "cores": cores,
+                    "n_pages": N_PAGES,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""Broadcast point-in-polygon join (north-star stage b).
+
+Replaces the reference's R-tree spatial semi-join
+(get_overlapping_subset, /root/reference/geo_inference/utils/
+geo_transforms.py:197-258) with the scalable Spark shape:
+
+1. polygon layer (small) -> per-polygon cell cover at res R
+   (polyfill), each cell labeled interior vs boundary;
+2. pages geocoded to the same res -> **broadcast hash equi-join** on
+   cell id (zero shuffle of the big side; Catalyst picks
+   BroadcastHashJoin);
+3. rows landing in interior cells are accepted outright; rows in
+   boundary cells get exact PIP refinement in one Arrow-batched
+   pandas UDF (vectorized ray casting, grouped by area within the
+   batch).
+
+At 100TB the only data movement is the broadcast of the cover table
+(O(polygons x cells/polygon)) — pages never shuffle. Skewed hot
+cells cost nothing here because there is no shuffle; skew matters in
+the downstream groupBy, where AQE + optional salting handle it
+(operators/salting.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from ..geom.wkb import iter_polygons
+from ..grid import hexgrid
+from .geocode import hex_cell_udf
+
+
+def build_cover(polygons_pdf: pd.DataFrame, res: int) -> pd.DataFrame:
+    """Cell cover of a polygon layer: (cell, area_id, boundary).
+
+    boundary=False cells are provably fully inside their polygon
+    (hexgrid.polyfill is conservative), so the join can skip exact
+    refinement for them.
+    """
+    cells, areas, bnds = [], [], []
+    for _, row in polygons_pdf.iterrows():
+        for rings in iter_polygons(row["geom_wkb"]):
+            cs, bs = hexgrid.polyfill(rings, res)
+            cells.append(cs)
+            areas.append(np.full(len(cs), row["area_id"], dtype=np.int64))
+            bnds.append(bs)
+    if not cells:
+        return pd.DataFrame({"cell": [], "area_id": [], "boundary": []})
+    out = pd.DataFrame(
+        {
+            "cell": np.concatenate(cells),
+            "area_id": np.concatenate(areas),
+            "boundary": np.concatenate(bnds),
+        }
+    )
+    # a multipolygon part may repeat cells; boundary = AND (interior wins
+    # only if every part marking the cell marks it interior — any part
+    # could also mark interior while another is boundary; point needs
+    # refine unless provably inside SOME part entirely -> interior if
+    # any part says interior)
+    out = (
+        out.groupby(["cell", "area_id"], as_index=False)
+        .agg(boundary=("boundary", "min"))
+        .astype({"boundary": bool})
+    )
+    return out
+
+
+def _refine_udf(polygons_pdf: pd.DataFrame):
+    """Exact PIP for boundary-cell candidates; vectorized per area."""
+    geom_by_area = {
+        int(r["area_id"]): list(iter_polygons(r["geom_wkb"]))
+        for _, r in polygons_pdf.iterrows()
+    }
+
+    @F.pandas_udf(BooleanType())
+    def pip_exact(lon: pd.Series, lat: pd.Series, area: pd.Series) -> pd.Series:
+        from ..geom.core import points_in_polygon
+
+        x = lon.to_numpy()
+        y = lat.to_numpy()
+        a = area.to_numpy()
+        res = np.zeros(len(x), dtype=bool)
+        for aid in np.unique(a):
+            m = a == aid
+            hit = np.zeros(int(m.sum()), dtype=bool)
+            for rings in geom_by_area[int(aid)]:
+                hit |= points_in_polygon(x[m], y[m], rings)
+            res[m] = hit
+        return pd.Series(res)
+
+    return pip_exact
+
+
+def pip_join(
+    spark: SparkSession,
+    points: DataFrame,
+    polygons_pdf: pd.DataFrame,
+    res: int = 9,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    keep_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """points ⋈ polygons via cell-cover broadcast join + PIP refine.
+
+    Returns points rows (optionally projected to keep_cols) with
+    area_id/name/value attached; a point inside k overlapping areas
+    yields k rows — same semantics as a spatial inner join.
+    """
+    cover = spark.createDataFrame(
+        build_cover(polygons_pdf, res),
+        schema="cell long, area_id long, boundary boolean",
+    )
+    pts = points
+    if keep_cols is not None:
+        pts = pts.select(*keep_cols, lat_col, lon_col)
+    pts = pts.withColumn("_cell", hex_cell_udf(res)(F.col(lat_col), F.col(lon_col)))
+    refine = _refine_udf(polygons_pdf)
+    joined = pts.join(
+        F.broadcast(cover), on=pts["_cell"] == cover["cell"], how="inner"
+    ).drop("cell")
+    return joined.filter(
+        (~F.col("boundary"))
+        | refine(F.col(lon_col), F.col(lat_col), F.col("area_id"))
+    ).drop("boundary", "_cell")
+
+
+def pages_per_area(
+    spark: SparkSession,
+    points: DataFrame,
+    polygons_pdf: pd.DataFrame,
+    res: int = 9,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """The flagship aggregate: page count per admin area.
+
+    Plan: scan -> project -> geocode UDF -> BroadcastHashJoin ->
+    (partial hash agg map-side) -> single small shuffle on area_id.
+    """
+    j = pip_join(spark, points, polygons_pdf, res, lat_col, lon_col)
+    return j.groupBy("area_id").agg(F.count(F.lit(1)).alias("cnt"))
