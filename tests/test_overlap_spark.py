@@ -1,0 +1,80 @@
+"""Distributed == global: the Spark fragment-shuffle stitch must equal
+a dense driver-side scatter-add oracle on the same raster (the global
+form of the reference pipeline geo_inference.py:358-397)."""
+
+import numpy as np
+import pytest
+
+from geo_inference_spark.operators.overlap import (
+    infer_nodata,
+    infer_raster,
+    pad_to_multiple,
+    validity_mask,
+)
+from geo_inference_spark.raster.kernels import finalize_cell, make_linear_model, model_window_patch
+
+RNG = np.random.RandomState(7)
+
+
+def dense_oracle(arr, model_fn, patch, num_classes, no_data=None, thr=0.3):
+    """Independent global computation: run every patch, scatter-add the
+    windowed outputs + weights into one dense accumulator, finalize
+    per stride cell, trim, paint nodata."""
+    stride = patch // 2
+    nd = infer_nodata(arr, no_data)
+    valid = validity_mask(np.asarray(arr), nd)
+    padded = pad_to_multiple(np.asarray(arr, dtype=np.float64), stride)
+    bands, h, w = padded.shape
+    ny, nx = h // stride, w // stride
+    acc = np.zeros((num_classes + 1, h + stride, w + stride))
+    for py in range(ny):
+        for px in range(nx):
+            y0, x0 = py * stride, px * stride
+            if py + 1 < ny and px + 1 < nx:
+                chunk = padded[:, y0 : y0 + patch, x0 : x0 + patch]
+            else:
+                chunk = np.empty((bands, 0, 0))  # no right/bottom halo
+            out = model_window_patch(
+                chunk, model_fn, patch, num_classes, py, px, ny, nx, nd
+            )
+            acc[:, y0 : y0 + patch, x0 : x0 + patch] += out
+    mask = np.zeros((h, w), dtype=np.uint8)
+    for oy in range(ny):
+        for ox in range(nx):
+            y0, x0 = oy * stride, ox * stride
+            mask[y0 : y0 + stride, x0 : x0 + stride] = finalize_cell(
+                acc[:, y0 : y0 + stride, x0 : x0 + stride], thr
+            )
+    mask = mask[: arr.shape[1], : arr.shape[2]]
+    return np.where(valid, mask, np.uint8(255))
+
+
+@pytest.mark.parametrize(
+    "bands,num_classes,shape",
+    [(2, 3, (20, 28)), (1, 1, (16, 16)), (3, 5, (19, 22))],
+)
+def test_stitch_matches_dense_oracle(spark, bands, num_classes, shape):
+    arr = RNG.uniform(0, 255, size=(bands, *shape))
+    model = make_linear_model(num_classes)
+    got = infer_raster(spark, arr, model, patch_size=8, num_classes=num_classes)
+    exp = dense_oracle(arr, model, 8, num_classes)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_stitch_nodata_painting(spark):
+    arr = RNG.uniform(1, 255, size=(2, 16, 16))
+    arr[:, :4, :4] = 0.0  # a nodata block (nodata=0)
+    model = make_linear_model(2)
+    got = infer_raster(spark, arr, model, 8, 2, no_data=0.0)
+    exp = dense_oracle(arr, model, 8, 2, no_data=0.0)
+    np.testing.assert_array_equal(got, exp)
+    assert (got[:4, :4] == 255).all()  # invalid pixels painted 255
+
+
+def test_stitch_single_class_threshold(spark):
+    arr = RNG.uniform(0, 255, size=(1, 12, 12))
+    model = make_linear_model(1)
+    got = infer_raster(spark, arr, model, 8, 1, prediction_threshold=0.3)
+    exp = dense_oracle(arr, model, 8, 1, thr=0.3)
+    np.testing.assert_array_equal(got, exp)
+    assert set(np.unique(got)) <= {0, 1, 255}
