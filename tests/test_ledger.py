@@ -1,0 +1,110 @@
+"""Checkpoint ledger, lineage, salting, and sinks (M5 scale hygiene)."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geo_inference_spark.geom.wkb import polygon_to_wkb
+from geo_inference_spark.operators.salting import salted_agg
+from geo_inference_spark.plans.ledger import (
+    CheckpointLedger,
+    partition_lineage,
+    run_with_ledger,
+)
+from geo_inference_spark.sources.sinks import (
+    write_coco_json,
+    write_geojson,
+    write_yolo_csv,
+)
+
+
+def test_ledger_resume_skips_done(spark, tmp_path):
+    led = CheckpointLedger(spark, str(tmp_path / "ledger"))
+    calls = []
+
+    def run_unit(key):
+        calls.append(key)
+        if key == "u3" and len(calls) <= 3:
+            raise RuntimeError("simulated crash")
+        return int(key[1:]) * 10
+
+    units = ["u1", "u2", "u3", "u4"]
+    with pytest.raises(RuntimeError):
+        run_with_ledger(spark, led, "stage_a", units, run_unit)
+    # u1, u2 committed; crash on u3
+    assert calls == ["u1", "u2", "u3"]
+    out = run_with_ledger(spark, led, "stage_a", units, run_unit)
+    # resume runs only u3, u4
+    assert calls == ["u1", "u2", "u3", "u3", "u4"]
+    assert out == {"u3": 30, "u4": 40}
+    m = led.metrics().toPandas()
+    assert sorted(m["part_key"]) == ["u1", "u2", "u3", "u4"]
+    assert (m["wall_ms"] >= 0).all()
+
+
+def test_partition_lineage_counts(spark):
+    df = spark.range(0, 1000, 1, 8)
+    lin = partition_lineage(df, "scan").toPandas()
+    assert lin["n_rows"].sum() == 1000
+    assert lin["stage"].eq("scan").all()
+    assert lin["partition_id"].nunique() == len(lin)
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.range(0, 20000).withColumn(
+        "key", (F.col("id") % 7).cast("int")
+    ).withColumn("v", (F.col("id") % 100).cast("double"))
+    got = (
+        salted_agg(df, ["key"], {
+            "cnt": ("*", "count"), "s": ("v", "sum"),
+            "mn": ("v", "min"), "mx": ("v", "max"),
+        }, n=8)
+        .orderBy("key")
+        .collect()
+    )
+    exp = (
+        df.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("s"),
+             F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .orderBy("key")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+
+def test_sinks_roundtrip(spark, tmp_path):
+    ring = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], dtype=float)
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            {"poly_id": [1], "value": [3.0], "geom_wkb": [polygon_to_wkb([ring])]}
+        ),
+        schema="poly_id long, value double, geom_wkb binary",
+    )
+    gj = str(tmp_path / "gj")
+    write_geojson(polys.coalesce(1), gj)
+    feats = []
+    for f in os.listdir(gj):
+        if f.startswith("part-"):
+            feats += [json.loads(line) for line in open(os.path.join(gj, f))]
+    assert feats[0]["geometry"]["coordinates"][0][0] == [0.0, 0.0]
+    assert feats[0]["properties"]["value"] == 3.0
+
+    yolo = spark.createDataFrame(
+        [(3.0, 0.5, 0.5, 0.1, 0.1)], schema="value double, x double, y double, w double, h double"
+    )
+    yp = str(tmp_path / "yolo")
+    write_yolo_csv(yolo.coalesce(1), yp)
+    line = next(
+        open(os.path.join(yp, f)).readline()
+        for f in os.listdir(yp)
+        if f.startswith("part-")
+    )
+    assert line.strip() == "3.0 0.5 0.5 0.1 0.1"
+
+    cp = str(tmp_path / "coco.json")
+    write_coco_json({"annotations": []}, cp)
+    assert json.load(open(cp)) == {"annotations": []}

@@ -1,0 +1,106 @@
+"""Text ops: dedup / analysis operators vs DuckDB oracles on the
+driver's documents table, plus near-dup recall on the synthetic pages
+table (which has dup structure by construction)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from geo_inference_spark.text import analysis as TA
+from geo_inference_spark.text import dedup as DD
+from geo_inference_spark.text import portable as P
+from geo_inference_spark.sources.pages import pages_df
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    return c
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_minhash_lsh_pairs_match_oracle(spark, docs, con):
+    got = _rows(DD.lsh_candidate_pairs(docs))
+    exp = sorted(tuple(r) for r in con.sql(DD.lsh_pairs_oracle_sql()).fetchall())
+    assert got == exp and len(got) > 0
+
+
+def test_jaccard_pairs_match_oracle(spark, docs, con):
+    got = _rows(DD.jaccard_verified_pairs(docs, 0.5))
+    exp = sorted(
+        tuple(r) for r in con.sql(DD.jaccard_pairs_oracle_sql(threshold=0.5)).fetchall()
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_simhash_matches_oracle(spark, docs, con):
+    got = _rows(DD.with_simhash(docs).select("doc_id", "simhash"))
+    exp = sorted(tuple(r) for r in con.sql(DD.simhash_oracle_sql()).fetchall())
+    assert got == exp
+
+
+def test_langid_matches_oracle(spark, docs, con):
+    e = TA.langid_exprs(P.DUCK)
+    cols = ", ".join(f"{v} AS {k}" for k, v in e.items())
+    got = _rows(
+        TA.with_langid(docs).select(
+            "doc_id", *[k for k in e]
+        )
+    )
+    exp = sorted(
+        tuple(r) for r in con.sql(f"SELECT doc_id, {cols} FROM documents").fetchall()
+    )
+    assert got == exp
+
+
+def test_fingerprints_match_oracle(spark, docs, con):
+    got = _rows(TA.with_fingerprint_count(docs).select("doc_id", "n_fingerprints"))
+    exp = sorted(
+        tuple(r)
+        for r in con.sql(
+            f"SELECT doc_id, {TA.fingerprint_expr(P.DUCK)} FROM documents"
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_exact_dedup_finds_synthetic_dup_families(spark):
+    """The synthetic pages table has ~8% exact dups by construction
+    (sources/pages.py); md5 groupBy must recover them."""
+    pages = pages_df(spark, 3000, partitions=8)
+    fam = (
+        pages.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter("c > 1")
+    )
+    n_dup_groups = fam.count()
+    assert n_dup_groups > 20  # plenty of families at n=3000
+    # families share canonical text across ids in the same _DUP_MOD block
+    total_dups = fam.agg(F.sum("c")).collect()[0][0]
+    assert total_dups >= 2 * n_dup_groups
+
+
+def test_lsh_recovers_near_dups_on_pages(spark):
+    """Near dups (canonical text + tiny suffix) must collide in LSH."""
+    pages = pages_df(spark, 1500, partitions=8).select("page_id", "text")
+    pairs = DD.lsh_candidate_pairs(pages, id_col="page_id", k=3)
+    verified = DD.jaccard_verified_pairs(
+        pages, threshold=0.8, id_col="page_id", k=3
+    )
+    assert pairs.count() > 0
+    v = verified.toPandas()
+    assert len(v) > 0
+    assert (v["jaccard"] >= 0.8).all()
