@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..geom.core import points_in_polygon, segments_intersect_bbox
+from ..geom.core import points_in_polygon, segments_intersect_bboxes
 
 SQRT3 = np.sqrt(3.0)
 _BASE = 36.0  # res-0 circumradius in degrees
@@ -194,15 +194,27 @@ def polyfill(rings: list[np.ndarray], res: int) -> tuple[np.ndarray, np.ndarray]
     any_in = inside.any(axis=1)
     all_in = inside.all(axis=1)
     boxes = cell_bbox(cand)
-    edge_hit = np.array(
-        [
-            any(
-                segments_intersect_bbox(ring, bx[0], bx[1], bx[2], bx[3])
-                for ring in rings
-            )
-            for bx in boxes
-        ]
-    )
+    edge_hit = np.zeros(n, dtype=bool)
+    for ring in rings:
+        edge_hit |= segments_intersect_bboxes(ring, boxes)
     keep = any_in | edge_hit
     interior = all_in & ~edge_hit
     return cand[keep], ~interior[keep]
+
+
+def fit_cover_res(rings: list[np.ndarray], max_res: int, max_cells: int = 4096) -> int:
+    """Coarsest-enough resolution so a polygon's cell cover stays
+    bounded: at 10^12-page scale the cover table must stay broadcast-
+    sized no matter how large an admin polygon is; boundary cells are
+    refined exactly anyway, so coarser covers trade a little UDF work
+    for a bounded broadcast."""
+    pts = np.vstack(rings)
+    w = float(pts[:, 0].max() - pts[:, 0].min())
+    h = float(pts[:, 1].max() - pts[:, 1].min())
+    for res in range(max_res, -1, -1):
+        s = cell_size(res)
+        # hex cell area = (3*sqrt(3)/2) s^2; bbox cells ~ area ratio
+        approx = (w + 2 * s) * (h + 2 * s) / (1.5 * SQRT3 * s * s)
+        if approx <= max_cells:
+            return res
+    return 0

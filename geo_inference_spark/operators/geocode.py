@@ -26,6 +26,46 @@ def hex_cell_udf(res: int):
     return _udf
 
 
+def hex_cell_sql(res: int, lat_col: str = "lat", lon_col: str = "lon") -> str:
+    """The hexgrid geocode as a pure Spark-SQL expression — the
+    whole-stage-codegen fast path (no Python worker in the PIP join).
+
+    Bit-identical to hexgrid.latlng_to_cell: same float64 operation
+    order, and ``bround`` is numpy's rint (round-half-even). Parity is
+    property-tested over millions of points (tests/test_grid.py).
+    """
+    # NB: bare decimal literals are DECIMAL in Spark SQL — the string
+    # cast keeps constants exact float64 so results are bit-identical
+    # to the numpy path
+    s = f"cast('{hexgrid.cell_size(res)!r}' as double)"
+    sqrt3_3 = f"cast('{hexgrid.SQRT3 / 3.0!r}' as double)"
+    two_thirds = f"cast('{2.0 / 3.0!r}' as double)"
+    qf = f"(({sqrt3_3} * {lon_col} - {lat_col} / 3.0) / {s})"
+    rf = f"(({two_thirds} * {lat_col}) / {s})"
+    yf = f"(-{qf} - {rf})"
+    rx, ry, rz = f"bround({qf})", f"bround({yf})", f"bround({rf})"
+    dx, dy, dz = f"abs({rx} - {qf})", f"abs({ry} - {yf})", f"abs({rz} - {rf})"
+    fix_x = f"({dx} > {dy} and {dx} > {dz})"
+    fix_z = f"(not {fix_x} and {dz} > {dy})"
+    q = f"cast((case when {fix_x} then -{ry} - {rz} else {rx} end) as bigint)"
+    # rz fix uses the (possibly fixed) rx — mirror hexgrid._cube_round
+    rx_fixed = f"(case when {fix_x} then -{ry} - {rz} else {rx} end)"
+    r = (
+        f"cast((case when {fix_z} then -{rx_fixed} - {ry} else {rz} end)"
+        " as bigint)"
+    )
+    flag = 1 << 62
+    off = 1 << 27
+    return (
+        f"({flag}L | shiftleft(cast({res} as bigint), 56)"
+        f" | shiftleft({q} + {off}, 28) | ({r} + {off}))"
+    )
+
+
+def hex_cell_col(res: int, lat_col: str = "lat", lon_col: str = "lon"):
+    return F.expr(hex_cell_sql(res, lat_col, lon_col))
+
+
 def s2_cell_udf(level: int):
     @F.pandas_udf(LongType())
     def _udf(lat: pd.Series, lon: pd.Series) -> pd.Series:

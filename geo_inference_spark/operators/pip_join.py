@@ -34,36 +34,45 @@ from ..grid import hexgrid
 from .geocode import hex_cell_udf
 
 
-def build_cover(polygons_pdf: pd.DataFrame, res: int) -> pd.DataFrame:
-    """Cell cover of a polygon layer: (cell, area_id, boundary).
+def build_cover(
+    polygons_pdf: pd.DataFrame, res: int, max_cells_per_polygon: int = 4096
+) -> pd.DataFrame:
+    """Cell cover of a polygon layer: (res, cell, area_id, boundary).
 
     boundary=False cells are provably fully inside their polygon
     (hexgrid.polyfill is conservative), so the join can skip exact
     refinement for them.
+
+    Resolution is ADAPTIVE per polygon (capped at ``res``): a polygon
+    whose cover at ``res`` would exceed max_cells_per_polygon is
+    covered at the coarsest finer-than-bbox resolution that fits.
+    This bounds the broadcast at O(polygons x max_cells) regardless of
+    polygon size — the continental-admin-area case at 10^12 pages —
+    while points only pay one extra geocode per distinct res.
     """
-    cells, areas, bnds = [], [], []
+    cells, areas, bnds, ress = [], [], [], []
     for _, row in polygons_pdf.iterrows():
         for rings in iter_polygons(row["geom_wkb"]):
-            cs, bs = hexgrid.polyfill(rings, res)
+            r = min(res, hexgrid.fit_cover_res(rings, res, max_cells_per_polygon))
+            cs, bs = hexgrid.polyfill(rings, r)
             cells.append(cs)
             areas.append(np.full(len(cs), row["area_id"], dtype=np.int64))
             bnds.append(bs)
+            ress.append(np.full(len(cs), r, dtype=np.int32))
     if not cells:
-        return pd.DataFrame({"cell": [], "area_id": [], "boundary": []})
+        return pd.DataFrame({"res": [], "cell": [], "area_id": [], "boundary": []})
     out = pd.DataFrame(
         {
+            "res": np.concatenate(ress),
             "cell": np.concatenate(cells),
             "area_id": np.concatenate(areas),
             "boundary": np.concatenate(bnds),
         }
     )
-    # a multipolygon part may repeat cells; boundary = AND (interior wins
-    # only if every part marking the cell marks it interior — any part
-    # could also mark interior while another is boundary; point needs
-    # refine unless provably inside SOME part entirely -> interior if
-    # any part says interior)
+    # a multipolygon part may repeat cells; a cell is interior if ANY
+    # part fully contains it (then no refine needed)
     out = (
-        out.groupby(["cell", "area_id"], as_index=False)
+        out.groupby(["res", "cell", "area_id"], as_index=False)
         .agg(boundary=("boundary", "min"))
         .astype({"boundary": bool})
     )
@@ -111,19 +120,33 @@ def pip_join(
     area_id/name/value attached; a point inside k overlapping areas
     yields k rows — same semantics as a spatial inner join.
     """
-    cover = spark.createDataFrame(
-        build_cover(polygons_pdf, res),
-        schema="cell long, area_id long, boundary boolean",
-    )
+    cover_pdf = build_cover(polygons_pdf, res)
     pts = points
     if keep_cols is not None:
         pts = pts.select(*keep_cols, lat_col, lon_col)
-    pts = pts.withColumn("_cell", hex_cell_udf(res)(F.col(lat_col), F.col(lon_col)))
     refine = _refine_udf(polygons_pdf)
-    joined = pts.join(
-        F.broadcast(cover), on=pts["_cell"] == cover["cell"], how="inner"
-    ).drop("cell")
-    return joined.filter(
+    out = None
+    # one broadcast join per distinct cover resolution (usually 1-2):
+    # points geocode at that res in the same stage as the scan
+    for r in sorted(cover_pdf["res"].unique()):
+        cov_r = spark.createDataFrame(
+            cover_pdf[cover_pdf["res"] == r].drop(columns=["res"]),
+            schema="cell long, area_id long, boundary boolean",
+        )
+        # Arrow-batched UDF geocode: measured faster end-to-end than
+        # the pure-SQL expression (hex_cell_sql) in this pipeline —
+        # the inlined join-key expression defeats codegen CSE, while
+        # the UDF computes each cell once per row in numpy
+        pts_r = pts.withColumn(
+            "_cell", hex_cell_udf(int(r))(F.col(lat_col), F.col(lon_col))
+        )
+        j = pts_r.join(
+            F.broadcast(cov_r), on=pts_r["_cell"] == cov_r["cell"], how="inner"
+        ).drop("cell")
+        out = j if out is None else out.unionByName(j)
+    if out is None:
+        return pts.limit(0).withColumn("area_id", F.lit(None).cast("long"))
+    return out.filter(
         (~F.col("boundary"))
         | refine(F.col(lon_col), F.col(lat_col), F.col("area_id"))
     ).drop("boundary", "_cell")
@@ -141,6 +164,13 @@ def pages_per_area(
 
     Plan: scan -> project -> geocode UDF -> BroadcastHashJoin ->
     (partial hash agg map-side) -> single small shuffle on area_id.
+
+    keep_cols=() prunes to (lat, lon) BEFORE the UDF chain — without
+    it every html/text byte rides through Arrow into the Python
+    worker; with it the parquet scan reads two doubles per row
+    (ReadSchema shows only lat/lon).
     """
-    j = pip_join(spark, points, polygons_pdf, res, lat_col, lon_col)
+    j = pip_join(
+        spark, points, polygons_pdf, res, lat_col, lon_col, keep_cols=()
+    )
     return j.groupBy("area_id").agg(F.count(F.lit(1)).alias("cnt"))

@@ -61,17 +61,28 @@ def lsh_candidate_pairs(
     A pair collides when ALL minhashes of at least one band agree —
     the classic banding amplification of shingle Jaccard.
     """
-    sig = with_minhash_signature(df, num_hashes, k, col)
+    # spread the signature work across all slots BEFORE the heavy md5
+    # projection: a single-file parquet scan is one partition, which
+    # would otherwise hash every shingle on one core (twice — the
+    # self-join reads both sides)
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    sig = with_minhash_signature(df.repartition(par), num_hashes, k, col)
     bands = num_hashes // rows_per_band
-    buckets = None
+    band_cols = []
     for b in range(bands):
         mh_cols = [f"mh{b * rows_per_band + i}" for i in range(rows_per_band)]
-        part = sig.select(
-            F.col(id_col).alias("id"),
-            F.lit(b).alias("band"),
-            F.md5(F.concat(*[F.col(c) for c in mh_cols])).alias("key"),
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat(*[F.col(c) for c in mh_cols])).alias("key"),
+            )
         )
-        buckets = part if buckets is None else buckets.unionAll(part)
+    # one pass emits every band (explode), instead of B unioned scans
+    buckets = sig.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     l, r = buckets.alias("l"), buckets.alias("r")
     return (
         l.join(

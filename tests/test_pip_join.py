@@ -25,8 +25,11 @@ def test_cover_interior_boundary_split():
     polys = P.synth_admin_polygons(n_areas=8)
     cover = build_cover(polys, res=7)
     assert len(cover) > 0
-    assert set(cover.columns) == {"cell", "area_id", "boundary"}
-    assert not cover.duplicated(["cell", "area_id"]).any()
+    assert set(cover.columns) == {"res", "cell", "area_id", "boundary"}
+    assert not cover.duplicated(["res", "cell", "area_id"]).any()
+    # adaptive cover keeps every polygon's cell count bounded
+    per_poly = cover.groupby("area_id").size()
+    assert (per_poly <= 4096).all()
 
 
 def test_pip_join_matches_bruteforce(spark):

@@ -1,0 +1,84 @@
+"""Manifest / GeoJSON / zarr-metadata sources and CRS helpers."""
+
+import json
+
+import math
+import pytest
+
+from geo_inference_spark.functions.crs import check_crs, transform_bounds
+from geo_inference_spark.sources.manifest import (
+    parse_zarr_metadata,
+    read_geojson_polygons,
+    read_manifest,
+    zarr_metadata_dict,
+)
+
+
+def test_read_manifest_sorted_by_split(spark, tmp_path):
+    p = tmp_path / "aoi.csv"
+    p.write_text(
+        "b.tif,b.gpkg,val,aoi2\n"
+        "a.tif,a.gpkg,trn,aoi1\n"
+        ",x.gpkg,tst,aoi3\n"  # missing tif -> dropped
+    )
+    rows = read_manifest(spark, str(p)).collect()
+    assert [r.split for r in rows] == ["trn", "val"]
+    assert rows[0].tif == "a.tif"
+
+
+def test_read_geojson_polygons(spark, tmp_path):
+    doc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"value": 4.0},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]],
+                },
+            },
+            {"type": "Feature", "properties": {},
+             "geometry": {"type": "Point", "coordinates": [0, 0]}},
+        ],
+    }
+    p = tmp_path / "v.geojson"
+    p.write_text(json.dumps(doc))
+    rows = read_geojson_polygons(spark, str(p)).collect()
+    assert len(rows) == 1 and rows[0].value == 4.0
+    # graceful empty on missing file (geo.py:36-56 behavior)
+    assert read_geojson_polygons(spark, str(tmp_path / "nope.geojson")).count() == 0
+
+
+ZMETA = {
+    "crs": "EPSG:4326",
+    "transform": "| 0.5, 0.0, 100.0 |\n| 0.0, -0.5, 300.0 |",
+    "count": 3, "width": 512, "height": 256,
+    "driver": "GTiff", "dtype": "uint8",
+}
+
+
+def test_zarr_metadata_in_plan(spark):
+    df = spark.createDataFrame([(json.dumps(ZMETA),)], schema="meta_json string")
+    row = parse_zarr_metadata(spark, df).collect()[0]
+    assert row.width == 512 and row["count"] == 3  # .count is Row's method
+    assert list(row.affine6) == [0.5, 0.0, 100.0, 0.0, -0.5, 300.0]
+
+
+def test_zarr_metadata_driver_twin(tmp_path):
+    p = tmp_path / "m.json"
+    p.write_text(json.dumps(ZMETA))
+    meta = zarr_metadata_dict(str(p))
+    assert meta["transform"] == (0.5, 0.0, 100.0, 0.0, -0.5, 300.0)
+
+
+def test_crs_check_and_bounds():
+    assert check_crs(4326) == "EPSG:4326"
+    assert check_crs("epsg:3857") == "EPSG:3857"
+    with pytest.raises(ValueError):
+        check_crs("not-a-crs")
+    b = transform_bounds(4326, 3857, -1.0, -1.0, 1.0, 1.0)
+    assert b[0] == pytest.approx(-111319.49, rel=1e-4)
+    rt = transform_bounds(3857, 4326, *b)
+    assert all(math.isclose(a, e, abs_tol=1e-9) for a, e in zip(rt, (-1, -1, 1, 1)))
+    assert transform_bounds(4326, 4326, 1, 2, 3, 4) == (1, 2, 3, 4)
