@@ -21,6 +21,7 @@ from geo_inference_spark.functions.derive import GRID_AREA_SQL, LAT_SQL, LON_SQL
 from geo_inference_spark.operators.knn import knn_join
 from geo_inference_spark.operators.overlap import overlap_stitch, raster_to_chunks
 from geo_inference_spark.operators.pip_join import pages_per_area
+from geo_inference_spark.operators import relational as R
 from geo_inference_spark.operators.vectorize import polygonize_tiles
 from geo_inference_spark.raster.kernels import make_linear_model
 from geo_inference_spark.sources.pages import admin_grid_polygons
@@ -281,6 +282,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_byte_stats": q_media_bytes,
         "media_decode": q_media_decode,
         "raster_overlap_polygonize": q_overlap_polygonize,
+        "rel_q1_pricing_summary": R.q1_pricing_summary,
+        "rel_q3_shipping_priority": R.q3_shipping_priority,
+        "rel_q5_local_supplier_volume": R.q5_local_supplier_volume,
+        "rel_top_orders_per_customer": R.q_top_orders_per_customer,
+        "rel_rollup_region_nation": R.q_rollup_region_nation,
     }
 
 
@@ -393,4 +399,9 @@ def oracle_sql() -> dict[str, str]:
                    cast(max(octet_length(encode(text))) as bigint) AS max_bytes
             FROM documents GROUP BY source ORDER BY source
         """,
+        "rel_q1_pricing_summary": R.Q1_ORACLE,
+        "rel_q3_shipping_priority": R.Q3_ORACLE,
+        "rel_q5_local_supplier_volume": R.Q5_ORACLE,
+        "rel_top_orders_per_customer": R.TOP_ORDERS_ORACLE,
+        "rel_rollup_region_nation": R.ROLLUP_ORACLE,
     }
