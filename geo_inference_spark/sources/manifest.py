@@ -116,3 +116,48 @@ def zarr_metadata_dict(path: str) -> dict:
         vals.extend(float(v.strip()) for v in line.strip("|").split(","))
     meta["transform"] = tuple(vals[:6])
     return meta
+
+
+# ------------------------------------------------------------------- STAC
+
+# accepted eo:bands common names (public STAC eo extension band list,
+# the subset the reference validates via Band.band_range,
+# utils/helpers.py:354-357)
+STAC_COMMON_NAMES = {
+    "coastal", "blue", "green", "red", "rededge", "yellow", "pan",
+    "nir", "nir08", "nir09", "cirrus", "swir16", "swir22", "lwir",
+    "lwir11", "lwir12",
+}
+
+
+def stac_assets_by_common_name(item_path: str) -> dict:
+    """S3: resolve a STAC item's single-band assets by eo:bands
+    common_name -> {common_name: {"href": ..., "name": ...}}, in
+    asset order (asset_by_common_name parity, utils/helpers.py:
+    335-363 — driver-side catalog resolution; the hrefs then feed a
+    multi-source union scan)."""
+    with open(item_path) as f:
+        item = json.load(f)
+    out: dict = {}
+    for name, asset in item.get("assets", {}).items():
+        bands = asset.get("eo:bands", [])
+        if len(bands) == 1 and "common_name" in bands[0]:
+            cn = bands[0]["common_name"]
+            if cn not in STAC_COMMON_NAMES:
+                raise ValueError(
+                    f'Must be one of the accepted common names. Got "{cn}".'
+                )
+            out[cn] = {"href": asset.get("href"), "name": name}
+    if not out:
+        raise ValueError("Common names for assets cannot be retrieved")
+    return out
+
+
+def stac_band_hrefs(item_path: str, bands_requested: list[str]) -> list[str]:
+    """Selected band hrefs in request order (geo_inference.py:288-301
+    band selection before the union scan)."""
+    assets = stac_assets_by_common_name(item_path)
+    missing = [b for b in bands_requested if b not in assets]
+    if missing:
+        raise ValueError(f"requested bands not in item: {missing}")
+    return [assets[b]["href"] for b in bands_requested]

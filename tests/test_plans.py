@@ -1,0 +1,56 @@
+"""Physical-plan shape assertions — the scale properties the engine
+relies on must be visible in `explain`, not just hoped for:
+
+* the PIP join broadcasts the cover (never shuffles the pages side),
+* the parquet scan is pruned to (lat, lon) for the count-per-area
+  pipeline,
+* the LSH bucket join is a real equi-join (hashable keys),
+* the overlap stitch has exactly two exchanges.
+"""
+
+import numpy as np
+
+from geo_inference_spark.operators.overlap import overlap_stitch, raster_to_chunks
+from geo_inference_spark.operators.pip_join import pages_per_area
+from geo_inference_spark.raster.kernels import make_linear_model
+from geo_inference_spark.sources.pages import pages_df, synth_admin_polygons
+from geo_inference_spark.text.dedup import lsh_candidate_pairs
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pip_join_broadcasts_cover_and_prunes_scan(spark, tmp_path):
+    path = str(tmp_path / "pages")
+    pages_df(spark, 2000, partitions=4).write.parquet(path)
+    pq = spark.read.parquet(path)
+    out = pages_per_area(spark, pq, synth_admin_polygons(16), res=8)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # column pruning: the parquet scan must read only lat/lon
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, plan
+    for ln in scan_lines:
+        assert "lat" in ln and "lon" in ln
+        assert "html" not in ln and "text" not in ln and "url" not in ln
+
+
+def test_overlap_stitch_has_exactly_two_exchanges(spark):
+    arr = np.random.RandomState(0).uniform(0, 255, size=(1, 16, 16))
+    chunks, ny, nx = raster_to_chunks(spark, arr, 8)
+    tiles = overlap_stitch(chunks, make_linear_model(2), 1, 8, ny, nx, 2)
+    plan = plan_of(tiles)
+    # two FlatMapGroupsInPandas, each fed by one Exchange
+    assert plan.count("FlatMapGroupsInPandas") == 2
+    assert plan.count("Exchange") == 2
+
+
+def test_lsh_pairs_plan_is_hash_join(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = lsh_candidate_pairs(docs)
+    plan = plan_of(pairs)
+    assert "Join" in plan  # equi-join on (band, key), never a nested loop
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

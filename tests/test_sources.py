@@ -82,3 +82,40 @@ def test_crs_check_and_bounds():
     rt = transform_bounds(3857, 4326, *b)
     assert all(math.isclose(a, e, abs_tol=1e-9) for a, e in zip(rt, (-1, -1, 1, 1)))
     assert transform_bounds(4326, 4326, 1, 2, 3, 4) == (1, 2, 3, 4)
+
+
+STAC_ITEM = {
+    "type": "Feature",
+    "assets": {
+        "B04": {"href": "s3://x/red.tif", "eo:bands": [{"common_name": "red"}]},
+        "B03": {"href": "s3://x/green.tif", "eo:bands": [{"common_name": "green"}]},
+        "B02": {"href": "s3://x/blue.tif", "eo:bands": [{"common_name": "blue"}]},
+        "thumb": {"href": "s3://x/t.png"},
+    },
+}
+
+
+def test_stac_asset_resolution(tmp_path):
+    import json as _json
+
+    from geo_inference_spark.sources.manifest import (
+        stac_assets_by_common_name,
+        stac_band_hrefs,
+    )
+
+    p = tmp_path / "item.json"
+    p.write_text(_json.dumps(STAC_ITEM))
+    assets = stac_assets_by_common_name(str(p))
+    assert set(assets) == {"red", "green", "blue"}
+    assert assets["red"]["name"] == "B04"
+    assert stac_band_hrefs(str(p), ["blue", "red"]) == [
+        "s3://x/blue.tif", "s3://x/red.tif",
+    ]
+    with pytest.raises(ValueError):
+        stac_band_hrefs(str(p), ["nir", "red"])
+    bad = dict(STAC_ITEM)
+    bad["assets"] = {"B1": {"href": "x", "eo:bands": [{"common_name": "purple"}]}}
+    p2 = tmp_path / "bad.json"
+    p2.write_text(_json.dumps(bad))
+    with pytest.raises(ValueError):
+        stac_assets_by_common_name(str(p2))
