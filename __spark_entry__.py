@@ -205,6 +205,42 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the latest same-user error at or
+    before it (union + ordered window; DuckDB native ASOF oracle)."""
+    from geo_inference_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.round("value", 2).alias("err_value"), "event_id"
+    )
+    out = asof_join(
+        clicks, errors, key="user_id",
+        right_payload=("ts", "err_value"), right_id="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("ts_r").alias("err_ts"), F.col("err_value_r").alias("err_value"),
+    ).orderBy("event_id")
+
+
+def q_events_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type (expand-then-partial-agg).
+
+    The 100TB path is approx_count_distinct (HLL sketch) — its value
+    is engine-specific so it cannot join the oracle hash; tests pin it
+    within 5% of the exact count instead (tests/test_asof.py)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     k = F.get_json_object("props", "$.k").cast("long")
@@ -278,6 +314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp_lsh_topk": q_srp_lsh_topk,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
+        "events_asof": q_events_asof,
+        "events_distinct": q_events_distinct,
         "events_json": q_events_json,
         "media_byte_stats": q_media_bytes,
         "media_decode": q_media_decode,
@@ -385,6 +423,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "events_asof": """
+            SELECT c.event_id, c.user_id, c.ts,
+                   e.ts AS err_ts, round(e.value, 2) AS err_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+              ON c.user_id = e.user_id AND c.ts >= e.ts
+            ORDER BY c.event_id
+        """,
+        "events_distinct": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "events_json": """
             SELECT event_type,
