@@ -241,6 +241,28 @@ def q_events_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join: per order-week window of a few
+    customers, count lineitems shipping inside it."""
+    from geo_inference_spark.operators.interval_join import interval_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    iv = orders.filter(F.col("o_custkey") < 5).select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("end"),
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_shipdate").alias("ts")
+    )
+    out = interval_join(li, iv, bucket_seconds=7 * 86400)
+    return (
+        out.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_shipments"))
+        .orderBy("o_orderkey")
+    )
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     k = F.get_json_object("props", "$.k").cast("long")
@@ -317,6 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_distinct": q_events_distinct,
         "events_json": q_events_json,
+        "interval_join_shipments": q_interval_join,
         "media_byte_stats": q_media_bytes,
         "media_decode": q_media_decode,
         "raster_overlap_polygonize": q_overlap_polygonize,
@@ -448,6 +471,14 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(octet_length(encode(text))) as bigint) AS total_bytes,
                    cast(max(octet_length(encode(text))) as bigint) AS max_bytes
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "interval_join_shipments": """
+            SELECT o_orderkey, count(*) AS n_shipments
+            FROM (SELECT o_orderkey, o_orderdate AS s,
+                         o_orderdate + INTERVAL 7 DAY AS e
+                  FROM orders WHERE o_custkey < 5) iv
+            JOIN lineitem ON l_shipdate >= iv.s AND l_shipdate < iv.e
+            GROUP BY o_orderkey ORDER BY o_orderkey
         """,
         "rel_q1_pricing_summary": R.Q1_ORACLE,
         "rel_q3_shipping_priority": R.Q3_ORACLE,

@@ -1,0 +1,99 @@
+"""Streaming pipelines over the pages table shape.
+
+readStream -> (stateless geocode / extract) -> watermarked windowed
+aggregation -> sink. Stateless stages are the SAME functions the
+batch engine uses (geocode UDF, text expressions); only the
+aggregation differs (event-time window + watermark instead of a
+plain groupBy), which is exactly Structured Streaming's contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.geocode import hex_cell_udf
+
+PAGES_DDL = (
+    "page_id long, url string, warc_ts timestamp, html binary, "
+    "text string, lang string, lat double, lon double"
+)
+
+
+def read_pages_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream of page parquet drops (the CC-crawl
+    ingestion shape: WARC batches land as files; at scale this is a
+    Kafka/queue source with the same downstream plan)."""
+    return (
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def geocode_stream(stream: DataFrame, res: int = 8) -> DataFrame:
+    """Stateless geocode — identical operator as batch."""
+    return stream.withColumn(
+        "cell", hex_cell_udf(res)(F.col("lat"), F.col("lon"))
+    )
+
+
+def windowed_lang_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling window counts per lang with late-data
+    tolerance = watermark."""
+    return (
+        stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "n",
+        )
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, name: str, output_mode: str = "append"
+):
+    """availableNow run into a memory sink (tests / backfills): drains
+    everything currently in the source, then stops."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def foreach_batch_pip(
+    spark: SparkSession, stream: DataFrame, polygons_pdf, res: int, sink_path: str
+):
+    """PIP join per micro-batch via foreachBatch — reuses the exact
+    batch operator (operators/pip_join.pip_join) against each batch,
+    appending matches to a parquet/Iceberg sink."""
+    from ..operators.pip_join import pip_join
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        out = pip_join(
+            spark, batch_df, polygons_pdf, res=res, keep_cols=("page_id",)
+        )
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            sink_path
+        )
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,130 @@
+"""Structured Streaming pipelines: streamed results == batch results
+on the same files; watermarked windows; foreachBatch PIP join."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geo_inference_spark.operators.pip_join import pip_join
+from geo_inference_spark.sources.pages import pages_df, synth_admin_polygons
+from geo_inference_spark.streaming import (
+    geocode_stream,
+    read_pages_stream,
+    run_stream_to_memory,
+    windowed_lang_counts,
+)
+from geo_inference_spark.streaming.pipeline import foreach_batch_pip
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("pages_stream"))
+    # several files so maxFilesPerTrigger yields multiple micro-batches
+    pages_df(spark, 2000, partitions=8).write.mode("overwrite").parquet(p)
+    return p
+
+
+def _batch_counts(spark, pages_dir):
+    batch = spark.read.parquet(pages_dir)
+    return {
+        (str(r.ws), r.lang): r.n
+        for r in batch.groupBy(
+            F.date_trunc("hour", "warc_ts").alias("ws"), "lang"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def test_windowed_counts_complete_mode_match_batch(spark, pages_dir):
+    stream = read_pages_stream(spark, pages_dir, max_files_per_trigger=2)
+    run_stream_to_memory(
+        windowed_lang_counts(stream), "lang_counts_c", output_mode="complete"
+    )
+    got = {
+        (str(r.window_start), r.lang): r.n
+        for r in spark.sql("select * from lang_counts_c").collect()
+    }
+    assert got == _batch_counts(spark, pages_dir) and len(got) > 10
+
+
+@pytest.fixture(scope="module")
+def ordered_pages_dir(spark, tmp_path_factory):
+    """Pages written as 4 sequential time slices (ascending file mod
+    times) — the in-order arrival the watermark contract assumes; the
+    unordered fixture above demonstrates the drop path instead."""
+    p = str(tmp_path_factory.mktemp("pages_stream_ordered"))
+    df = pages_df(spark, 2000, partitions=4)
+    bounds = ["2025-06-08", "2025-06-16", "2025-06-24"]
+    slices = [
+        df.filter(F.col("warc_ts") < bounds[0]),
+        df.filter((F.col("warc_ts") >= bounds[0]) & (F.col("warc_ts") < bounds[1])),
+        df.filter((F.col("warc_ts") >= bounds[1]) & (F.col("warc_ts") < bounds[2])),
+        df.filter(F.col("warc_ts") >= bounds[2]),
+    ]
+    import time as _time
+
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(p)
+        _time.sleep(1.1)  # distinct mod-time ordering for the source
+    return p
+
+
+def test_windowed_counts_append_mode_emits_closed_windows(
+    spark, ordered_pages_dir
+):
+    """Append mode + watermark on in-order arrival: exactly the
+    windows whose end <= final watermark (max event time - 2h) are
+    emitted, with exact counts — the late-data contract."""
+    import datetime as dt
+
+    pages_dir = ordered_pages_dir
+    stream = read_pages_stream(spark, pages_dir, max_files_per_trigger=1)
+    run_stream_to_memory(windowed_lang_counts(stream), "lang_counts_a")
+    got = {
+        (str(r.window_start), r.lang): r.n
+        for r in spark.sql("select * from lang_counts_a").collect()
+    }
+    max_ts = spark.read.parquet(pages_dir).agg(F.max("warc_ts")).collect()[0][0]
+    cutoff = max_ts - dt.timedelta(hours=2)
+    exp = {
+        k: v
+        for k, v in _batch_counts(spark, pages_dir).items()
+        if dt.datetime.fromisoformat(k[0]) + dt.timedelta(hours=1) <= cutoff
+    }
+    assert got == exp and len(got) > 10
+
+
+def test_geocode_stream_is_stateless_identical(spark, pages_dir):
+    stream = geocode_stream(read_pages_stream(spark, pages_dir), res=8)
+    run_stream_to_memory(
+        stream.select("page_id", "cell"), "geocoded"
+    )
+    got = dict(
+        spark.sql("select page_id, cell from geocoded").rdd.map(tuple).collect()
+    )
+    from geo_inference_spark.grid import hexgrid
+    from geo_inference_spark.sources.pages import build_latlon
+
+    ids = np.arange(2000, dtype=np.uint64)
+    lat, lon = build_latlon(ids)
+    exp = hexgrid.latlng_to_cell(lat, lon, 8)
+    assert all(got[int(i)] == int(c) for i, c in zip(ids, exp))
+
+
+def test_foreach_batch_pip_matches_batch_join(spark, pages_dir, tmp_path):
+    polys = synth_admin_polygons(16)
+    sink = str(tmp_path / "pip_sink")
+    stream = read_pages_stream(spark, pages_dir, max_files_per_trigger=3)
+    q = foreach_batch_pip(spark, stream, polys, res=8, sink_path=sink)
+    q.awaitTermination()
+    got = {
+        (r.page_id, r.area_id)
+        for r in spark.read.parquet(sink).select("page_id", "area_id").collect()
+    }
+    exp_df = pip_join(
+        spark, spark.read.parquet(pages_dir), polys, res=8,
+        keep_cols=("page_id",),
+    )
+    exp = {(r.page_id, r.area_id) for r in exp_df.select("page_id", "area_id").collect()}
+    assert got == exp and len(exp) > 0
