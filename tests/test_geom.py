@@ -107,3 +107,25 @@ def test_strtree_matches_bruteforce():
             )
         )[0]
         assert got.tolist() == exp.tolist()
+
+
+def test_wkt_roundtrip():
+    import numpy as np
+
+    from geo_inference_spark.geom.wkb import from_wkt, parse_wkb, wkt_of
+
+    ring = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)
+    hole = np.array([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]], dtype=float)
+    w = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    kind, rings = parse_wkb(from_wkt(w))
+    assert kind == "polygon" and len(rings) == 2
+    np.testing.assert_array_equal(rings[0], ring)
+    np.testing.assert_array_equal(rings[1], hole)
+    # dump -> parse -> dump fixpoint
+    assert wkt_of(from_wkt(wkt_of(from_wkt(w)))) == wkt_of(from_wkt(w))
+    # multipolygon + point
+    mp = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))"
+    kind, polys = parse_wkb(from_wkt(mp))
+    assert kind == "multipolygon" and len(polys) == 2
+    kind, xy = parse_wkb(from_wkt("POINT (3.5 -2)"))
+    assert kind == "point" and xy == (3.5, -2.0)
