@@ -1,0 +1,133 @@
+"""Property-based tests (hypothesis) over the pure kernels — the
+layer the reference never property-tested."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geo_inference_spark.geom.core import (
+    clip_polygon_rect,
+    douglas_peucker,
+    points_in_polygon,
+    polygon_area,
+    ring_signed_area,
+)
+from geo_inference_spark.geom.wkb import from_wkt, parse_wkb, polygon_to_wkb, wkt_of
+from geo_inference_spark.grid import hexgrid
+from geo_inference_spark.raster.polygonize import (
+    boundary_edges,
+    chain_rings,
+    label_components,
+    split_edges_by_label,
+)
+
+coord = st.floats(-170.0, 170.0, allow_nan=False, width=64)
+latf = st.floats(-84.0, 84.0, allow_nan=False, width=64)
+res_st = st.integers(min_value=3, max_value=11)
+
+
+@given(st.lists(st.tuples(latf, coord), min_size=1, max_size=64), res_st)
+@settings(max_examples=60, deadline=None)
+def test_cell_pack_roundtrip_and_containment(pts, res):
+    lat = np.array([p[0] for p in pts])
+    lon = np.array([p[1] for p in pts])
+    cells = hexgrid.latlng_to_cell(lat, lon, res)
+    r, q, rr = hexgrid.unpack(cells)
+    assert (r == res).all()
+    # pack(unpack) is identity
+    assert (hexgrid.pack(res, q, rr) == cells).all()
+    # the point lies within circumradius of its cell center
+    clat, clon = hexgrid.cell_to_latlng(cells)
+    d = np.hypot(clat - lat, clon - lon)
+    assert (d <= hexgrid.cell_size(res) + 1e-9).all()
+    # center of a cell geocodes back to the same cell
+    again = hexgrid.latlng_to_cell(clat, clon, res)
+    assert (again == cells).all()
+
+
+@given(st.integers(1, 4), st.integers(0, 1000))
+@settings(max_examples=30, deadline=None)
+def test_k_ring_size_and_symmetry(k, seed):
+    rng = np.random.RandomState(seed)
+    cell = hexgrid.latlng_to_cell(
+        np.array([rng.uniform(-80, 80)]), np.array([rng.uniform(-170, 170)]), 8
+    )
+    ring = hexgrid.k_ring(cell, k)
+    assert ring.shape == (1, 1 + 3 * k * (k + 1))
+    assert len(np.unique(ring)) == ring.size  # no duplicates
+    assert cell[0] in ring  # contains itself
+    # symmetry: if b in k_ring(a) then a in k_ring(b)
+    b = ring[0, -1]
+    assert cell[0] in hexgrid.k_ring(np.array([b]), k)
+
+
+@given(
+    st.lists(st.tuples(coord, coord), min_size=3, max_size=10),
+    st.integers(0, 10**6),
+)
+@settings(max_examples=60, deadline=None)
+def test_pip_matches_winding_independent_formulation(raw, seed):
+    ring = np.array(raw + raw[:1], dtype=float)
+    rng = np.random.RandomState(seed)
+    px = rng.uniform(-180, 180, 50)
+    py = rng.uniform(-180, 180, 50)
+    fwd = points_in_polygon(px, py, [ring])
+    rev = points_in_polygon(px, py, [ring[::-1]])  # reversed winding
+    assert (fwd == rev).all()
+
+
+@given(st.lists(st.tuples(coord, coord), min_size=3, max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_wkt_wkb_roundtrip_property(raw):
+    ring = np.array(raw + raw[:1], dtype=float)
+    wkb = polygon_to_wkb([ring])
+    kind, rings = parse_wkb(from_wkt(wkt_of(wkb)))
+    assert kind == "polygon"
+    np.testing.assert_allclose(rings[0], ring, rtol=1e-9)
+
+
+@given(st.lists(st.tuples(coord, coord), min_size=4, max_size=30),
+       st.floats(0.01, 5.0))
+@settings(max_examples=60, deadline=None)
+def test_simplify_keeps_endpoints_and_subset(raw, tol):
+    ring = np.array(raw + raw[:1], dtype=float)
+    out = douglas_peucker(ring, tol)
+    assert (out[0] == ring[0]).all() and (out[-1] == ring[-1]).all()
+    # every output vertex is one of the input vertices
+    inset = {tuple(p) for p in ring}
+    assert all(tuple(p) in inset for p in out)
+
+
+@given(st.integers(0, 10**6), st.integers(4, 24), st.integers(4, 24))
+@settings(max_examples=40, deadline=None)
+def test_polygonize_conservation(seed, h, w):
+    """Sum over components of (exterior - holes) area == foreground
+    pixel count, for arbitrary masks."""
+    rng = np.random.RandomState(seed)
+    m = (rng.rand(h, w) > 0.5).astype(np.uint8) * rng.randint(
+        1, 4, size=(h, w)
+    ).astype(np.uint8)
+    lab = label_components(m)
+    total = 0.0
+    for _, e in split_edges_by_label(boundary_edges(lab)):
+        rings = chain_rings(e)
+        total += sum(ring_signed_area(r) for r in rings)  # holes negative
+    assert total == float((m > 0).sum())
+
+
+@given(st.integers(0, 10**6))
+@settings(max_examples=40, deadline=None)
+def test_clip_area_bounds(seed):
+    rng = np.random.RandomState(seed)
+    pts = rng.uniform(-10, 10, (6, 2))
+    # star-shaped ordering -> simple (non-self-intersecting) polygon;
+    # Sutherland-Hodgman and the area bound assume simple input
+    c = pts.mean(axis=0)
+    pts = pts[np.argsort(np.arctan2(pts[:, 1] - c[1], pts[:, 0] - c[0]))]
+    ring = np.vstack([pts, pts[:1]])
+    area = abs(ring_signed_area(ring))
+    clipped = clip_polygon_rect([ring], -5, -5, 5, 5)
+    # clip never exceeds either the polygon area or the rect area
+    assert clipped <= area + 1e-9
+    assert clipped <= 100.0 + 1e-9
+    assert clipped >= 0.0
