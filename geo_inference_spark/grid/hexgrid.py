@@ -218,3 +218,34 @@ def fit_cover_res(rings: list[np.ndarray], max_res: int, max_cells: int = 4096) 
         if approx <= max_cells:
             return res
     return 0
+
+
+def grid_disk(cell, k: int) -> np.ndarray:
+    """H3-compatible alias for k_ring (h3 v4 naming)."""
+    return k_ring(cell, k)
+
+
+def children(cell, child_res: int | None = None) -> np.ndarray:
+    """Cells at child_res (default res+1) whose parent() is this cell.
+
+    Aperture-7 hierarchy: candidates are the k_ring of the center's
+    child cell (k=2 covers the parent hex), filtered by exact parent
+    membership — mirrors h3.cell_to_children for the engine's grid.
+    Returns (n_cells, <=variable) object is awkward; single cell in,
+    1-D int64 array out.
+    """
+    cell = np.asarray(cell, dtype=np.int64)
+    if cell.ndim != 0 and cell.size != 1:
+        raise ValueError("children() takes a single cell")
+    c = np.int64(cell.flat[0] if cell.ndim else cell)
+    res = int((c >> _RES_SHIFT) & 0x3F)
+    cr = child_res if child_res is not None else res + 1
+    if cr <= res:
+        raise ValueError("child_res must be finer than the cell's res")
+    lat, lng = cell_to_latlng(np.array([c]))
+    center_child = latlng_to_cell(lat, lng, cr)
+    # ring large enough to cover the parent at any res gap
+    k = int(np.ceil(7.0 ** ((cr - res) / 2.0))) + 1
+    cand = k_ring(center_child, k).ravel()
+    par = parent(cand, res)
+    return np.unique(cand[par == c])

@@ -86,3 +86,25 @@ def test_s2_face_centers():
     u = np.sort(f.astype(np.uint64))
     exp = np.sort(np.array([(2 * k + 1) << 60 for k in range(6)], dtype=np.uint64))
     assert (u == exp).all()
+
+
+def test_children_partition_property():
+    import numpy as np
+
+    from geo_inference_spark.grid import hexgrid as hg
+
+    rng = np.random.RandomState(4)
+    lats = rng.uniform(-60, 60, 20)
+    lons = rng.uniform(-170, 170, 20)
+    cells = hg.latlng_to_cell(lats, lons, 6)
+    counts = []
+    for c in np.unique(cells):
+        ch = hg.children(np.int64(c))
+        counts.append(len(ch))
+        assert (hg.parent(ch, 6) == c).all()
+        # every child is distinct and at res 7
+        res, _, _ = hg.unpack(ch)
+        assert (res == 7).all()
+    # aperture-7 grid: ~7 children on average
+    assert 5.5 <= np.mean(counts) <= 8.5, np.mean(counts)
+    assert (hg.grid_disk(cells[:3], 2) == hg.k_ring(cells[:3], 2)).all()
