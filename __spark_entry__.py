@@ -30,6 +30,8 @@ from geo_inference_spark.text import dedup as DD
 from geo_inference_spark.text import portable as P
 from geo_inference_spark.text.multimodal import decode_media
 from geo_inference_spark.text.similarity import (
+    cosine_pairs,
+    cosine_pairs_oracle_sql,
     cosine_topk,
     cosine_topk_oracle_sql,
     embedding_queries,
@@ -159,6 +161,12 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return cosine_topk(emb, embedding_queries(emb, n=4), k=5)
+
+
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, threshold 0.4)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_pairs(emb, threshold=0.4)
 
 
 def q_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -333,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_token_counts,
         "text_fingerprints": q_fingerprints,
         "ann_cosine_topk": q_cosine_topk,
+        "ann_cosine_pairs": q_cosine_pairs,
         "ann_srp_lsh_topk": q_srp_lsh_topk,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
@@ -430,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents ORDER BY doc_id"
         ),
         "ann_cosine_topk": cosine_topk_oracle_sql(n_queries=4, k=5),
+        "ann_cosine_pairs": cosine_pairs_oracle_sql(threshold=0.4),
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 2) AS sum_value

@@ -314,3 +314,22 @@ def admin_polygons_df(spark, pdf: pd.DataFrame | None = None):
     return spark.createDataFrame(
         pdf, schema="area_id long, name string, value double, geom_wkb binary, crs string"
     )
+
+
+def write_pages_partitioned(
+    spark, n: int, path: str, part_res: int = 4, seed: int = 42,
+    partitions: int | None = None,
+):
+    """Materialize the pages table partitioned by a coarse cell prefix
+    (SURVEY.md §4: "partition the table by cell prefix" so bbox/cell
+    predicates prune at the source — the parquet stand-in for an
+    Iceberg table partitioned by h3 parent). Returns the cell column
+    name used for partitioning."""
+    from ..operators.geocode import hex_cell_udf
+    from pyspark.sql import functions as F
+
+    col = f"cell_h{part_res}"
+    df = pages_df(spark, n, seed=seed, partitions=partitions)
+    df = df.withColumn(col, hex_cell_udf(part_res)(F.col("lat"), F.col("lon")))
+    df.write.mode("overwrite").partitionBy(col).parquet(path)
+    return col
