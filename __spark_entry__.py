@@ -285,6 +285,51 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 web-payload analogue: html -> text extraction UDF with the
+    per-url byte-identity invariant, reported as counts. Rows-only
+    check (synthetic pages; the invariant itself is the assertion:
+    n_identical must equal n_pages)."""
+    import pandas as pd
+
+    from geo_inference_spark.sources.pages import extract_text_bytes, pages_df
+
+    pages = pages_df(spark, 5000, partitions=16)
+
+    def check(batches):
+        for pdf in batches:
+            ok = sum(
+                extract_text_bytes(bytes(h)) == t
+                for h, t in zip(pdf["html"], pdf["text"])
+            )
+            yield pd.DataFrame({"n_pages": [len(pdf)], "n_identical": [ok]})
+
+    agg = pages.mapInPandas(check, "n_pages long, n_identical long")
+    return agg.agg(
+        F.sum("n_pages").alias("n_pages"),
+        F.sum("n_identical").alias("n_identical"),
+    )
+
+
+def q_geocode_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grid geocode surface: hex res 7-10 + S2 level 12 cell
+    counts on synthetic pages. Rows-only check (cell ids are
+    engine-grid-specific; exactness is pinned by test_grid /
+    test_properties instead)."""
+    from geo_inference_spark.operators.geocode import with_cells
+    from geo_inference_spark.sources.pages import pages_df
+
+    pages = pages_df(spark, 5000, partitions=16).select("page_id", "lat", "lon")
+    cells = with_cells(pages)
+    return cells.agg(
+        *[
+            F.count_distinct(f"cell_h{r}").alias(f"n_h{r}")
+            for r in (7, 8, 9, 10)
+        ],
+        F.count_distinct("cell_s2_12").alias("n_s2_12"),
+    )
+
+
 # --------------------------------------------------------------- multimodal
 
 def q_media_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,6 +394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct": q_events_distinct,
         "events_json": q_events_json,
         "interval_join_shipments": q_interval_join,
+        "pages_extract_identity": q_pages_extract,
+        "geocode_cells": q_geocode_cells,
         "media_byte_stats": q_media_bytes,
         "media_decode": q_media_decode,
         "raster_overlap_polygonize": q_overlap_polygonize,
