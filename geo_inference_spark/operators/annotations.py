@@ -43,7 +43,7 @@ from ..geom.core import (
     invert_affine,
     polygon_area,
 )
-from ..geom.wkb import parse_wkb, polygon_to_wkb
+from ..geom.wkb import multipolygon_to_wkb, parse_wkb, polygon_to_wkb
 
 _STATS_T = StructType(
     [
@@ -54,7 +54,9 @@ _STATS_T = StructType(
         StructField("maxy", DoubleType()),
         StructField("area", DoubleType()),
         StructField("inter_area", DoubleType()),
-        StructField("ext_flat", ArrayType(DoubleType())),
+        # one flattened exterior ring per polygon part (COCO allows
+        # multi-part segmentation as a list of flat coordinate lists)
+        StructField("ext_flat", ArrayType(ArrayType(DoubleType()))),
     ]
 )
 
@@ -79,15 +81,24 @@ def _geom_stats_udf(transform, width: int, height: int):
         rows = []
         for b in wkb:
             kind, payload = parse_wkb(bytes(b))
-            rings = payload if kind == "polygon" else payload[0]
-            px = _apply_affine(rings, inv)
-            minx, miny, maxx, maxy = bounds_of_rings(px)
-            area = polygon_area(px)
-            inter = clip_polygon_rect(px, 0.0, 0.0, w, h)
-            ext = px[0].ravel().tolist()
-            rows.append(
-                (polygon_to_wkb(px), minx, miny, maxx, maxy, area, inter, ext)
+            polys = [payload] if kind == "polygon" else payload
+            px_polys = [_apply_affine(rings, inv) for rings in polys]
+            # multi-part geometry: union of part bounds, sum of part
+            # areas/intersections, one segmentation ring per part
+            bnds = [bounds_of_rings(p) for p in px_polys]
+            minx = min(b0[0] for b0 in bnds)
+            miny = min(b0[1] for b0 in bnds)
+            maxx = max(b0[2] for b0 in bnds)
+            maxy = max(b0[3] for b0 in bnds)
+            area = sum(polygon_area(p) for p in px_polys)
+            inter = sum(clip_polygon_rect(p, 0.0, 0.0, w, h) for p in px_polys)
+            ext = [p[0].ravel().tolist() for p in px_polys]
+            out_wkb = (
+                polygon_to_wkb(px_polys[0])
+                if len(px_polys) == 1
+                else multipolygon_to_wkb(px_polys)
             )
+            rows.append((out_wkb, minx, miny, maxx, maxy, area, inter, ext))
         return pd.DataFrame(
             rows, columns=[f.name for f in _STATS_T.fields]
         )
@@ -137,8 +148,16 @@ def _geo_bounds_udf():
         rows = []
         for b in wkb:
             kind, payload = parse_wkb(bytes(b))
-            rings = payload if kind == "polygon" else payload[0]
-            rows.append(bounds_of_rings(rings))
+            polys = [payload] if kind == "polygon" else payload
+            bnds = [bounds_of_rings(rings) for rings in polys]
+            rows.append(
+                (
+                    min(x[0] for x in bnds),
+                    min(x[1] for x in bnds),
+                    max(x[2] for x in bnds),
+                    max(x[3] for x in bnds),
+                )
+            )
         return pd.DataFrame(rows, columns=["minx", "miny", "maxx", "maxy"])
 
     return geo_bounds
@@ -262,7 +281,7 @@ def coco_dict(
                 "id": r.id,
                 "image_id": r.image_id,
                 "category_id": r.category_id,
-                "segmentation": [list(r.segmentation)],
+                "segmentation": [list(part) for part in r.segmentation],
                 "area": r.area,
                 "bbox": list(r.bbox),
                 "iscrowd": 0,

@@ -37,14 +37,24 @@ def asof_join(
     left_ts. Left rows with no prior right row keep NULL payload.
     """
     lcols = left.columns
+    # The whole right payload rides in ONE struct so last(ignorenulls)
+    # carries the matched row atomically: a right row whose payload
+    # column is genuinely NULL still supplies that NULL (no stale value
+    # from an older row, no torn tuple mixing columns across rows).
+    pay_type = (
+        "struct<"
+        + ",".join(
+            f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in right_payload
+        )
+        + ">"
+    )
     l = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),  # left sorts AFTER right at equal ts
         F.lit(None).cast("long").alias("_rid"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in right_payload],
+        F.lit(None).cast(pay_type).alias("_r_pay"),
     )
     rid = F.col(right_id).cast("long") if right_id else F.monotonically_increasing_id()
     r = right.select(
@@ -54,7 +64,7 @@ def asof_join(
         rid.alias("_rid"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
           for c in lcols],
-        *[F.col(c).alias(f"_r_{c}") for c in right_payload],
+        F.struct(*[F.col(c) for c in right_payload]).alias("_r_pay"),
     )
     u = l.unionByName(r)
     w = (
@@ -63,14 +73,10 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in right_payload
-        ],
+        "*", F.last("_r_pay", ignorenulls=True).over(w).alias("_c_pay")
     )
     out = carried.filter(F.col("_side") == 1).select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
-        *[F.col(f"_c_{c}").alias(f"{c}{suffix}") for c in right_payload],
+        *[F.col("_c_pay")[c].alias(f"{c}{suffix}") for c in right_payload],
     )
     return out

@@ -28,10 +28,14 @@ def interval_join(
     start_col: str = "start",
     end_col: str = "end",
     bucket_seconds: int = 86400,
-    how: str = "inner",
 ) -> DataFrame:
     """points ⋈ intervals ON start <= ts < end, as bucket equi-join +
-    exact refine. Interval columns ride along on the output."""
+    exact refine. Interval columns ride along on the output.
+
+    Inner-join only: the post-join BETWEEN refine would silently drop
+    the NULL-padded rows of any outer variant, so outer semantics are
+    not offered rather than offered wrongly.
+    """
     b = F.lit(int(bucket_seconds)).cast("long")
     ivb = intervals.withColumn(
         "_bkt",
@@ -47,7 +51,7 @@ def interval_join(
     pts = points.withColumn(
         "_bkt", (F.unix_timestamp(point_ts).cast("long") / b).cast("long")
     )
-    j = pts.join(ivb, on="_bkt", how=how)
+    j = pts.join(ivb, on="_bkt", how="inner")
     return j.filter(
         (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
     ).drop("_bkt")

@@ -43,20 +43,32 @@ def build_cover(
     (hexgrid.polyfill is conservative), so the join can skip exact
     refinement for them.
 
-    Resolution is ADAPTIVE per polygon (capped at ``res``): a polygon
-    whose cover at ``res`` would exceed max_cells_per_polygon is
-    covered at the coarsest finer-than-bbox resolution that fits.
-    This bounds the broadcast at O(polygons x max_cells) regardless of
-    polygon size — the continental-admin-area case at 10^12 pages —
-    while points only pay one extra geocode per distinct res.
+    Resolution is ADAPTIVE per AREA (capped at ``res``): the area is
+    covered at the min over its parts of the coarsest resolution whose
+    per-part cover fits max_cells_per_polygon. One resolution per
+    area_id (not per part) keeps the per-res joins disjoint in
+    area_id — otherwise a point could match the same multipolygon
+    area at two resolutions (inside one part's cover at res a, in a
+    boundary cell of another part's cover at res b) and the unioned
+    join would double-count it. This bounds the broadcast at
+    O(polygons x parts x max_cells) regardless of polygon size — the
+    continental-admin-area case at 10^12 pages — while points only
+    pay one extra geocode per distinct res.
     """
-    cells, areas, bnds, ress = [], [], [], []
+    res_by_area: dict[int, int] = {}
     for _, row in polygons_pdf.iterrows():
+        aid = int(row["area_id"])
         for rings in iter_polygons(row["geom_wkb"]):
             r = min(res, hexgrid.fit_cover_res(rings, res, max_cells_per_polygon))
+            res_by_area[aid] = min(res_by_area.get(aid, res), r)
+    cells, areas, bnds, ress = [], [], [], []
+    for _, row in polygons_pdf.iterrows():
+        aid = int(row["area_id"])
+        r = res_by_area[aid]
+        for rings in iter_polygons(row["geom_wkb"]):
             cs, bs = hexgrid.polyfill(rings, r)
             cells.append(cs)
-            areas.append(np.full(len(cs), row["area_id"], dtype=np.int64))
+            areas.append(np.full(len(cs), aid, dtype=np.int64))
             bnds.append(bs)
             ress.append(np.full(len(cs), r, dtype=np.int32))
     if not cells:
@@ -79,12 +91,42 @@ def build_cover(
     return out
 
 
+# above this many polygon parts the refine switches from the
+# per-area loop to STRtree bbox candidate lookup (north-star:
+# "broadcast prepared-geometry R-tree per partition")
+_STRTREE_MIN_PARTS = 64
+
+
 def _refine_udf(polygons_pdf: pd.DataFrame):
-    """Exact PIP for boundary-cell candidates; vectorized per area."""
-    geom_by_area = {
-        int(r["area_id"]): list(iter_polygons(r["geom_wkb"]))
-        for _, r in polygons_pdf.iterrows()
-    }
+    """Exact PIP for boundary-cell candidates.
+
+    Small layers (admin areas): one vectorized ray-cast per area
+    present in the batch. Large layers (10^5-polygon AOI sets): a
+    packed STRtree over ALL part bboxes (geom/strtree.py — the Spark
+    form of the reference's gdf.sindex in get_overlapping_subset,
+    /root/reference/geo_inference/utils/geo_transforms.py:230-256)
+    turns the per-area scan into O(log #parts) candidate lookups,
+    then one vectorized ray-cast per candidate part.
+    """
+    from ..geom.core import bounds_of_rings
+    from ..geom.strtree import STRtree
+
+    part_rings: list = []
+    part_area: list[int] = []
+    for _, r in polygons_pdf.iterrows():
+        for rings in iter_polygons(r["geom_wkb"]):
+            part_rings.append(rings)
+            part_area.append(int(r["area_id"]))
+    part_area_arr = np.asarray(part_area, dtype=np.int64)
+    use_tree = len(part_rings) > _STRTREE_MIN_PARTS
+    if use_tree:
+        tree = STRtree(np.array([bounds_of_rings(p) for p in part_rings]))
+        parts_by_area = None
+    else:
+        tree = None
+        parts_by_area: dict[int, list] = {}
+        for rings, aid in zip(part_rings, part_area):
+            parts_by_area.setdefault(aid, []).append(rings)
 
     @F.pandas_udf(BooleanType())
     def pip_exact(lon: pd.Series, lat: pd.Series, area: pd.Series) -> pd.Series:
@@ -94,12 +136,27 @@ def _refine_udf(polygons_pdf: pd.DataFrame):
         y = lat.to_numpy()
         a = area.to_numpy()
         res = np.zeros(len(x), dtype=bool)
-        for aid in np.unique(a):
-            m = a == aid
-            hit = np.zeros(int(m.sum()), dtype=bool)
-            for rings in geom_by_area[int(aid)]:
-                hit |= points_in_polygon(x[m], y[m], rings)
-            res[m] = hit
+        if use_tree:
+            # degenerate point boxes -> (point_idx, part_idx) pairs
+            qboxes = np.stack([x, y, x, y], axis=1)
+            qi, pi = tree.query_many(qboxes)
+            keep = part_area_arr[pi] == a[qi]
+            qi, pi = qi[keep], pi[keep]
+            # one vectorized ray-cast per candidate part
+            order = np.argsort(pi, kind="stable")
+            qi, pi = qi[order], pi[order]
+            starts = np.flatnonzero(np.r_[True, pi[1:] != pi[:-1]])
+            ends = np.r_[starts[1:], len(pi)]
+            for s, e in zip(starts, ends):
+                idx = qi[s:e]
+                res[idx] |= points_in_polygon(x[idx], y[idx], part_rings[pi[s]])
+        else:
+            for aid in np.unique(a):
+                m = a == aid
+                hit = np.zeros(int(m.sum()), dtype=bool)
+                for rings in parts_by_area.get(int(aid), ()):
+                    hit |= points_in_polygon(x[m], y[m], rings)
+                res[m] = hit
         return pd.Series(res)
 
     return pip_exact

@@ -23,10 +23,7 @@ def write_mask_tiles(tiles: DataFrame, path: str, mode: str = "overwrite") -> No
     tiles.write.mode(mode).partitionBy("ty").parquet(path)
 
 
-def write_geojson(polygons: DataFrame, path: str) -> None:
-    """S9: GeoJSON FeatureCollection of (geom_wkb, value) polygons.
-    Feature geometry is emitted from WKB via a pandas UDF; one JSON
-    file per partition (coalesce upstream for a single file)."""
+def _feature_udf():
     from ..geom.wkb import parse_wkb
 
     @F.pandas_udf(StringType())
@@ -34,24 +31,53 @@ def write_geojson(polygons: DataFrame, path: str) -> None:
         out = []
         for b, v in zip(wkb, value):
             kind, payload = parse_wkb(bytes(b))
-            rings = payload if kind == "polygon" else payload[0]
+            if kind == "polygon":
+                geometry = {
+                    "type": "Polygon",
+                    "coordinates": [r.tolist() for r in payload],
+                }
+            else:
+                geometry = {
+                    "type": "MultiPolygon",
+                    "coordinates": [
+                        [r.tolist() for r in poly] for poly in payload
+                    ],
+                }
             out.append(
                 json.dumps(
                     {
                         "type": "Feature",
                         "properties": {"value": float(v)},
-                        "geometry": {
-                            "type": "Polygon",
-                            "coordinates": [r.tolist() for r in rings],
-                        },
+                        "geometry": geometry,
                     }
                 )
             )
         return pd.Series(out)
 
+    return feature
+
+
+def write_geojson_features(polygons: DataFrame, path: str) -> None:
+    """S9 scale path: newline-delimited GeoJSON Features (geojsonl),
+    one text file per partition — the distributed sink for feature
+    sets too large for a single FeatureCollection document."""
     polygons.select(
-        feature(F.col("geom_wkb"), F.col("value")).alias("feature")
+        _feature_udf()(F.col("geom_wkb"), F.col("value")).alias("feature")
     ).write.mode("overwrite").text(path)
+
+
+def write_geojson(polygons: DataFrame, path: str) -> None:
+    """S9: a standard GeoJSON FeatureCollection DOCUMENT — one JSON
+    object any GeoJSON reader can parse. Like COCO (S11) this format
+    is a single document by definition, so assembly is driver-side;
+    use write_geojson_features for web-scale feature sets."""
+    feats = polygons.select(
+        _feature_udf()(F.col("geom_wkb"), F.col("value")).alias("feature")
+    ).collect()
+    with open(path, "w") as f:
+        f.write('{"type":"FeatureCollection","features":[')
+        f.write(",".join(r.feature for r in feats))
+        f.write("]}")
 
 
 def write_yolo_csv(yolo: DataFrame, path: str) -> None:

@@ -63,3 +63,32 @@ def test_approx_distinct_within_5pct(spark):
     )
     for r in both:
         assert abs(r.approx - r.exact) / r.exact < 0.05, r
+
+
+def test_asof_null_payload_is_atomic(spark):
+    """The matched right row's values travel together: a genuine NULL
+    in the matched row must come through as NULL (not a stale value
+    from an older row), and all payload columns must come from the
+    SAME right row — no torn tuples (DuckDB ASOF semantics)."""
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "ts": [t(10)], "lid": [10]}),
+        schema="k long, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1],
+                "ts": [t(1), t(5)],
+                "rid": [100, 101],
+                "v": [1.0, None],      # matched row (t5) has NULL v
+                "w": [None, 9.0],      # matched row has non-NULL w
+            }
+        ),
+        schema="k long, ts timestamp, rid long, v double, w double",
+    )
+    r = asof_join(
+        left, right, key="k", right_payload=("v", "w"), right_id="rid"
+    ).collect()[0]
+    assert r.v_r is None  # NOT the stale 1.0 from rid=100
+    assert r.w_r == 9.0

@@ -18,6 +18,7 @@ from geo_inference_spark.plans.ledger import (
 from geo_inference_spark.sources.sinks import (
     write_coco_json,
     write_geojson,
+    write_geojson_features,
     write_yolo_csv,
 )
 
@@ -84,14 +85,23 @@ def test_sinks_roundtrip(spark, tmp_path):
         ),
         schema="poly_id long, value double, geom_wkb binary",
     )
-    gj = str(tmp_path / "gj")
-    write_geojson(polys.coalesce(1), gj)
-    feats = []
-    for f in os.listdir(gj):
-        if f.startswith("part-"):
-            feats += [json.loads(line) for line in open(os.path.join(gj, f))]
+    gj = str(tmp_path / "gj.geojson")
+    write_geojson(polys, gj)
+    doc = json.load(open(gj))  # a real FeatureCollection document
+    assert doc["type"] == "FeatureCollection"
+    feats = doc["features"]
     assert feats[0]["geometry"]["coordinates"][0][0] == [0.0, 0.0]
     assert feats[0]["properties"]["value"] == 3.0
+
+    gjl = str(tmp_path / "gjl")
+    write_geojson_features(polys.coalesce(1), gjl)
+    lines = [
+        json.loads(line)
+        for f in os.listdir(gjl)
+        if f.startswith("part-")
+        for line in open(os.path.join(gjl, f))
+    ]
+    assert lines[0]["type"] == "Feature"
 
     yolo = spark.createDataFrame(
         [(3.0, 0.5, 0.5, 0.1, 0.1)], schema="value double, x double, y double, w double, h double"

@@ -170,7 +170,7 @@ def test_coco_first_seen_categories_and_ids(spark):
     assert r1.iscrowd == 0 and r1.image_id == 1
     assert list(r1.bbox) == [2.0, 2.0, 4.0, 4.0]
     assert r1.area == 16.0
-    assert list(r1.segmentation[:4]) == [2.0, 2.0, 6.0, 2.0]
+    assert list(r1.segmentation[0][:4]) == [2.0, 2.0, 6.0, 2.0]
     doc = coco_dict(annos, cats, "img.tif", W, H,
                     license_dict={"CC0": "http://x"})
     assert doc["images"] == [
@@ -179,3 +179,30 @@ def test_coco_first_seen_categories_and_ids(spark):
     ]
     assert doc["licenses"][0]["id"] == 1
     assert len(doc["annotations"]) == 3
+
+
+def test_annotations_multipolygon_full_parts(spark):
+    """MULTIPOLYGON stats use ALL parts: union bbox, summed area,
+    one COCO segmentation ring per part (the reference's
+    geojson_to_px_gdf / gdf_to_yolo handle multi-part in full)."""
+    from geo_inference_spark.geom.wkb import multipolygon_to_wkb
+
+    mp = multipolygon_to_wkb(
+        [[_geo_square(2, 2, 2)], [_geo_square(10, 8, 2)]]
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 1.0, mp)], columns=["poly_id", "value", "geom_wkb"]
+        ),
+        schema="poly_id long, value double, geom_wkb binary",
+    )
+    annos, _ = coco_annotations(df, TRANSFORM, W, H, category_col="value")
+    a = annos.collect()[0]
+    # union bbox spans both parts: x 2..12, y 2..10 in px space
+    assert list(a.bbox) == [2.0, 2.0, 10.0, 8.0]
+    assert a.area == 8.0  # 2x2 + 2x2 px squares
+    assert len(a.segmentation) == 2  # one ring per part
+    # px roundtrip preserves the multipolygon
+    px = polygons_to_px(df, TRANSFORM, W, H, "img.tif").collect()[0]
+    kind, parts = parse_wkb(bytes(px.geom_wkb))
+    assert kind == "multipolygon" and len(parts) == 2
