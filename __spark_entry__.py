@@ -31,6 +31,8 @@ from geo_inference_spark.text import portable as P
 from geo_inference_spark.text.multimodal import decode_media
 from geo_inference_spark.text.similarity import (
     cosine_pairs,
+    cosine_pairs_lsh,
+    cosine_pairs_lsh_oracle_sql,
     cosine_pairs_oracle_sql,
     cosine_topk,
     cosine_topk_oracle_sql,
@@ -78,6 +80,42 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rn")
 
 
+def q_knn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic kNN: same k-ring expansion, haversine km distance with
+    a cos(lat)-adjusted guarantee radius (planar degrees inflate
+    east-west distance ~1.7x at 55 deg latitude)."""
+    import pandas as pd
+
+    docs = _docs_with_latlon(spark, sf_dir)
+    qpdf = pd.DataFrame(KNN_QUERIES, columns=["qid", "lat", "lon"])
+    out = knn_join(
+        spark, docs, qpdf, k=KNN_K, res=6, id_col="doc_id", metric="haversine"
+    )
+    return out.select(
+        "qid", F.col("id").alias("doc_id"),
+        F.round("dist", 6).alias("dist_km"), "rn",
+    ).orderBy("qid", "rn")
+
+
+def _knn_geo_oracle() -> str:
+    from geo_inference_spark.operators.knn import haversine_sql
+
+    qvals = ", ".join(f"({q}, {la}, {lo})" for q, la, lo in KNN_QUERIES)
+    hav = haversine_sql("qlat", "qlon", "lat", "lon")
+    return f"""
+        WITH pts AS (
+          SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents
+        ), q(qid, qlat, qlon) AS (VALUES {qvals})
+        SELECT qid, doc_id, round({hav}, 6) AS dist_km,
+               CAST(row_number() OVER (
+                 PARTITION BY qid ORDER BY {hav}, doc_id
+               ) AS INT) AS rn
+        FROM pts CROSS JOIN q
+        QUALIFY rn <= {KNN_K}
+        ORDER BY qid, rn
+    """
+
+
 # --------------------------------------------------------------- dedup
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,6 +130,13 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return DD.lsh_candidate_pairs(docs).orderBy("id1", "id2")
+
+
+def q_lsh_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof LSH: exact-dup families collapse to one bucket row
+    per band before banding; output = family edges + rep pairs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.lsh_collapsed_pairs(docs)
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,6 +219,15 @@ def q_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs brute force is pinned in tests/test_similarity.py."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return srp_lsh_topk(spark, emb, embedding_queries(emb, n=4), k=5)
+
+
+def q_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10^12-row near-dup pair path: SRP band signatures ->
+    bucket self-join -> exact cosine refine on candidates only. The
+    DuckDB oracle computes the identical bucketed candidates (same
+    Rademacher planes as SQL literals)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_pairs_lsh(emb, threshold=0.4)
 
 
 # --------------------------------------------------------------- events
@@ -312,22 +366,36 @@ def q_pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_geocode_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-grid geocode surface: hex res 7-10 + S2 level 12 cell
-    counts on synthetic pages. Rows-only check (cell ids are
-    engine-grid-specific; exactness is pinned by test_grid /
-    test_properties instead)."""
-    from geo_inference_spark.operators.geocode import with_cells
-    from geo_inference_spark.sources.pages import pages_df
+    """Multi-res hex geocode surface: distinct cell counts at res 7-10
+    over the documents table, computed by the pure whole-stage-codegen
+    SQL geocode (hex_cell_sql) — the DuckDB twin is the same
+    expression in the duck dialect, bit-identical per cell id. (S2
+    level-12 geocode stays pytest-pinned: its Hilbert-curve math has
+    no SQL twin; see tests/test_grid.py.)"""
+    from geo_inference_spark.operators.geocode import hex_cell_sql
 
-    pages = pages_df(spark, 5000, partitions=16).select("page_id", "lat", "lon")
-    cells = with_cells(pages)
-    return cells.agg(
-        *[
-            F.count_distinct(f"cell_h{r}").alias(f"n_h{r}")
-            for r in (7, 8, 9, 10)
-        ],
-        F.count_distinct("cell_s2_12").alias("n_s2_12"),
+    docs = _docs_with_latlon(spark, sf_dir)
+    cells = docs.select(
+        *[F.expr(hex_cell_sql(r)).alias(f"c{r}") for r in (7, 8, 9, 10)]
     )
+    return cells.agg(
+        *[F.count_distinct(f"c{r}").alias(f"n_h{r}") for r in (7, 8, 9, 10)]
+    )
+
+
+def _geocode_cells_oracle() -> str:
+    from geo_inference_spark.operators.geocode import hex_cell_sql
+
+    counts = ", ".join(
+        f"count(DISTINCT {hex_cell_sql(r, dialect='duck')}) AS n_h{r}"
+        for r in (7, 8, 9, 10)
+    )
+    return f"""
+        WITH pts AS (
+          SELECT {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents
+        )
+        SELECT {counts} FROM pts
+    """
 
 
 # --------------------------------------------------------------- multimodal
@@ -348,7 +416,8 @@ def q_media_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary decode plumbing (stubbed codec). Rows-only check."""
+    """Binary decode plumbing (stubbed codec, md5-derived so DuckDB
+    reproduces every field — value-exact oracle check)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").alias("page_id"),
         F.encode("text", "utf-8").alias("html"),
@@ -356,12 +425,42 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(docs).orderBy("id")
 
 
+def _media_decode_oracle() -> str:
+    """DuckDB twin of the md5-derived fake decode: hex-digit pairs of
+    md5(text) reproduce the digest bytes, ascii codepoints reproduce
+    the payload bytes (the synthetic text is pure ASCII)."""
+    def byte(i: int) -> str:  # digest byte i from hex chars 2i+1, 2i+2
+        d1 = f"(strpos('0123456789abcdef', substr(hx, {2 * i + 1}, 1)) - 1)"
+        d2 = f"(strpos('0123456789abcdef', substr(hx, {2 * i + 2}, 1)) - 1)"
+        return f"({d1} * 16 + {d2})"
+
+    return f"""
+        WITH h AS (
+          SELECT doc_id AS id, text AS t, md5(text) AS hx FROM documents
+        )
+        SELECT id, 'image' AS media_type,
+               CAST(octet_length(encode(t)) AS BIGINT) AS n_bytes,
+               CAST(64 + {byte(0)} % 192 AS INT) AS width,
+               CAST(64 + {byte(1)} % 192 AS INT) AS height,
+               CAST(1 + {byte(2)} % 3 AS INT) AS channels,
+               round(list_aggregate(
+                       list_transform(range(1, length(t) + 1),
+                                      i -> CAST(ascii(substr(t, i, 1)) AS DOUBLE)),
+                       'sum') / CAST(length(t) AS DOUBLE), 6) AS mean_byte,
+               hx AS md5
+        FROM h ORDER BY id
+    """
+
+
 # --------------------------------------------------------------- raster ops
 
 def q_overlap_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster inference -> Hann-overlap stitch -> distributed
-    polygonize, on a deterministic synthetic raster. Rows-only check
-    (oracle-tested against the dense numpy pipeline in pytest)."""
+    polygonize, on a deterministic synthetic raster. Oracle: literal
+    VALUES generated by the dense single-process reference pipeline
+    (raster/dense.py + raster/polygonize.py — the pytest-proven global
+    path), so the driver gate value-checks the whole distributed
+    stitch + connected-components + ring chain."""
     rng = np.random.RandomState(42)
     arr = rng.uniform(0, 255, size=(2, 32, 48))
     model = make_linear_model(num_classes=3)
@@ -372,12 +471,49 @@ def q_overlap_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("poly_id")
 
 
+def _overlap_polygonize_oracle() -> str:
+    """Dense reference pipeline -> (poly_id, value, area) VALUES."""
+    from geo_inference_spark.geom.core import polygon_area
+    from geo_inference_spark.raster.dense import dense_infer_mask
+    from geo_inference_spark.raster.polygonize import (
+        boundary_edges,
+        chain_rings,
+        label_components,
+        rings_to_polygon,
+        split_edges_by_label,
+    )
+
+    rng = np.random.RandomState(42)
+    arr = rng.uniform(0, 255, size=(2, 32, 48))
+    # the query stitches with stride 8, i.e. patch 16
+    mask = dense_infer_mask(arr, make_linear_model(3), 16, 3)
+    w = mask.shape[1]
+    lab = label_components(mask)
+    rows = []
+    for comp, comp_edges in split_edges_by_label(boundary_edges(lab)):
+        rings = rings_to_polygon(chain_rings(comp_edges))
+        area = polygon_area(rings)
+        if area < 2.0:
+            continue
+        y, x = divmod(int(comp), w)
+        rows.append(((y << 32) + x, float(mask[y, x]), float(area)))
+    vals = ", ".join(f"({pid}, {v!r}, {a!r})" for pid, v, a in rows)
+    return (
+        "SELECT CAST(poly_id AS BIGINT) AS poly_id,"
+        " CAST(value AS DOUBLE) AS value, CAST(area AS DOUBLE) AS area"
+        f" FROM (VALUES {vals}) AS t(poly_id, value, area)"
+        " ORDER BY poly_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_count_per_area": q_pip_count,
         "knn_documents": q_knn,
+        "knn_documents_geo": q_knn_geo,
         "dedup_exact": q_exact_dedup,
         "dedup_minhash_lsh": q_minhash_lsh,
+        "dedup_lsh_collapsed": q_lsh_collapsed,
         "dedup_jaccard_pairs": q_jaccard_pairs,
         "dedup_simhash": q_simhash,
         "text_token_stats": q_token_stats,
@@ -387,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q_fingerprints,
         "ann_cosine_topk": q_cosine_topk,
         "ann_cosine_pairs": q_cosine_pairs,
+        "ann_cosine_pairs_lsh": q_cosine_pairs_lsh,
         "ann_srp_lsh_topk": q_srp_lsh_topk,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
@@ -464,12 +601,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 ORDER BY area_id
         """,
         "knn_documents": _knn_oracle(),
+        "knn_documents_geo": _knn_geo_oracle(),
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
                    count(*) AS dup_cnt
             FROM documents GROUP BY 1 ORDER BY keep_id
         """,
         "dedup_minhash_lsh": DD.lsh_pairs_oracle_sql(),
+        "dedup_lsh_collapsed": DD.lsh_collapsed_oracle_sql(),
         "dedup_jaccard_pairs": DD.jaccard_pairs_oracle_sql(threshold=0.5),
         "dedup_simhash": DD.simhash_oracle_sql(),
         "text_token_stats": """
@@ -487,6 +626,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_cosine_topk": cosine_topk_oracle_sql(n_queries=4, k=5),
         "ann_cosine_pairs": cosine_pairs_oracle_sql(threshold=0.4),
+        "ann_cosine_pairs_lsh": cosine_pairs_lsh_oracle_sql(threshold=0.4),
+        "geocode_cells": _geocode_cells_oracle(),
+        "media_decode": _media_decode_oracle(),
+        "raster_overlap_polygonize": _overlap_polygonize_oracle(),
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 2) AS sum_value

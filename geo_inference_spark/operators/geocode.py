@@ -26,24 +26,37 @@ def hex_cell_udf(res: int):
     return _udf
 
 
-def hex_cell_sql(res: int, lat_col: str = "lat", lon_col: str = "lon") -> str:
-    """The hexgrid geocode as a pure Spark-SQL expression — the
-    whole-stage-codegen fast path (no Python worker in the PIP join).
+def hex_cell_sql(
+    res: int, lat_col: str = "lat", lon_col: str = "lon",
+    dialect: str = "spark",
+) -> str:
+    """The hexgrid geocode as a pure SQL expression — the
+    whole-stage-codegen fast path in Spark (no Python worker in the
+    PIP join) AND, with dialect='duck', the DuckDB oracle twin.
 
     Bit-identical to hexgrid.latlng_to_cell: same float64 operation
-    order, and ``bround`` is numpy's rint (round-half-even). Parity is
-    property-tested over millions of points (tests/test_grid.py).
+    order; Spark ``bround`` == DuckDB ``round_even(x, 0)`` == numpy
+    rint (round-half-even). Parity is property-tested over millions of
+    points (tests/test_grid.py).
     """
     # NB: bare decimal literals are DECIMAL in Spark SQL — the string
     # cast keeps constants exact float64 so results are bit-identical
     # to the numpy path
+    if dialect == "spark":
+        rnd = "bround({x})"
+        shl = "shiftleft({x}, {n})"
+        flag_lit = f"{1 << 62}L"
+    else:
+        rnd = "round_even({x}, 0)"
+        shl = "(({x}) << {n})"
+        flag_lit = f"{1 << 62}"
     s = f"cast('{hexgrid.cell_size(res)!r}' as double)"
     sqrt3_3 = f"cast('{hexgrid.SQRT3 / 3.0!r}' as double)"
     two_thirds = f"cast('{2.0 / 3.0!r}' as double)"
     qf = f"(({sqrt3_3} * {lon_col} - {lat_col} / 3.0) / {s})"
     rf = f"(({two_thirds} * {lat_col}) / {s})"
     yf = f"(-{qf} - {rf})"
-    rx, ry, rz = f"bround({qf})", f"bround({yf})", f"bround({rf})"
+    rx, ry, rz = (rnd.format(x=qf), rnd.format(x=yf), rnd.format(x=rf))
     dx, dy, dz = f"abs({rx} - {qf})", f"abs({ry} - {yf})", f"abs({rz} - {rf})"
     fix_x = f"({dx} > {dy} and {dx} > {dz})"
     fix_z = f"(not {fix_x} and {dz} > {dy})"
@@ -54,12 +67,10 @@ def hex_cell_sql(res: int, lat_col: str = "lat", lon_col: str = "lon") -> str:
         f"cast((case when {fix_z} then -{rx_fixed} - {ry} else {rz} end)"
         " as bigint)"
     )
-    flag = 1 << 62
     off = 1 << 27
-    return (
-        f"({flag}L | shiftleft(cast({res} as bigint), 56)"
-        f" | shiftleft({q} + {off}, 28) | ({r} + {off}))"
-    )
+    res_shift = shl.format(x=f"cast({res} as bigint)", n=56)
+    q_shift = shl.format(x=f"({q} + {off})", n=28)
+    return f"({flag_lit} | {res_shift} | {q_shift} | ({r} + {off}))"
 
 
 def hex_cell_col(res: int, lat_col: str = "lat", lon_col: str = "lon"):

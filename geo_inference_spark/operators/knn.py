@@ -32,6 +32,53 @@ from pyspark.sql import functions as F
 from ..grid import hexgrid
 from .geocode import hex_cell_udf
 
+R_KM = 6371.0088  # IUGG mean earth radius
+KM_PER_DEG = np.pi * R_KM / 180.0
+
+
+def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Great-circle km — the SAME expression string runs in Spark SQL
+    and DuckDB (radians/sin/cos/asin/sqrt/pow exist in both)."""
+    r = f"cast('{R_KM!r}' as double)"
+    return (
+        f"(2 * {r} * asin(sqrt("
+        f"pow(sin(radians({lat2} - {lat1}) / 2), 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * pow(sin(radians({lon2} - {lon1}) / 2), 2))))"
+    )
+
+
+def _dist_col(metric: str) -> F.Column:
+    if metric == "planar":
+        return F.sqrt(
+            (F.col("lon") - F.col("qlon")) ** 2
+            + (F.col("lat") - F.col("qlat")) ** 2
+        )
+    if metric == "haversine":
+        return F.expr(haversine_sql("qlat", "qlon", "lat", "lon"))
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def _guarantee_km(g_deg: float, qlat: float) -> float:
+    """Conservative haversine lower bound for any point whose planar
+    lon/lat distance is >= g_deg from a query at latitude qlat.
+
+    Case split on the point's displacement (dphi, dlam),
+    sqrt(dphi^2 + dlam^2) >= g: either |dphi| >= g/sqrt(2) (distance
+    >= KM*|dphi|), or |dlam| >= g/sqrt(2) with the point's latitude
+    within qlat +- g/sqrt(2), where the central angle satisfies
+    sin(theta/2) >= cos(lat_max) * sin(dlam/2) and the 2/pi factor
+    absorbs the sin linearization. Conservative bounds only cost extra
+    rounds; exactness is guaranteed regardless by the brute-force
+    fallback."""
+    b = min(abs(qlat) + g_deg / np.sqrt(2.0), 89.99)
+    return (
+        KM_PER_DEG
+        * np.cos(np.radians(b))
+        * (g_deg / np.sqrt(2.0))
+        * (2.0 / np.pi)
+    )
+
 
 def _candidates_df(spark: SparkSession, queries: pd.DataFrame, res: int, kr: int):
     """(qid, cell) cover of each query's k-ring."""
@@ -60,11 +107,17 @@ def knn_join(
     id_col: str = "page_id",
     kr0: int = 1,
     max_rounds: int = 8,
+    metric: str = "planar",
 ) -> DataFrame:
     """Exact k nearest points per query -> (qid, id, dist, rn).
 
     queries: pandas (qid, lat, lon). Ties broken by id for full
     determinism (matches the oracle's ORDER BY dist, id).
+
+    metric: 'planar' (lon/lat degrees — the hexgrid's own plane) or
+    'haversine' (great-circle km — the geodesically correct answer a
+    real user wants at high latitude, where planar east-west distances
+    inflate ~1/cos(lat); same SQL in the DuckDB oracle).
     """
     s = hexgrid.cell_size(res)
     pts = points.select(
@@ -87,13 +140,7 @@ def knn_join(
         hits = (
             pts.join(F.broadcast(cand), on="cell")
             .join(F.broadcast(qmeta), on="qid")
-            .withColumn(
-                "dist",
-                F.sqrt(
-                    (F.col("lon") - F.col("qlon")) ** 2
-                    + (F.col("lat") - F.col("qlat")) ** 2
-                ),
-            )
+            .withColumn("dist", _dist_col(metric))
         )
         w = Window.partitionBy("qid").orderBy("dist", "id")
         topk = (
@@ -102,9 +149,15 @@ def knn_join(
             .select("qid", "id", "dist", "rn")
         )
         got = topk.toPandas()
-        guarantee = 1.5 * s * (kr + 1) - 2.0 * s
+        g_deg = 1.5 * s * (kr + 1) - 2.0 * s
+        qlat_of = dict(zip(remaining["qid"], remaining["lat"]))
         done_ids = []
         for qid, grp in got.groupby("qid"):
+            guarantee = (
+                g_deg
+                if metric == "planar"
+                else _guarantee_km(g_deg, float(qlat_of[qid]))
+            )
             if len(grp) >= k and grp["dist"].max() <= guarantee:
                 done_ids.append(qid)
                 results.append(grp)
@@ -120,11 +173,7 @@ def knn_join(
                 "qid", F.col("lat").alias("qlat"), F.col("lon").alias("qlon")
             )
             hits = pts.crossJoin(F.broadcast(qmeta)).withColumn(
-                "dist",
-                F.sqrt(
-                    (F.col("lon") - F.col("qlon")) ** 2
-                    + (F.col("lat") - F.col("qlat")) ** 2
-                ),
+                "dist", _dist_col(metric)
             )
             w = Window.partitionBy("qid").orderBy("dist", "id")
             got = (

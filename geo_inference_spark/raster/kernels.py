@@ -127,6 +127,55 @@ def sum_overlapped_chunk(
     return finalize_cell(acc, prediction_threshold)
 
 
+# --------------------------------------------------------- TTA wrapper
+
+def tta_wrap(model_fn, flip: bool = True, rotate: bool = True):
+    """Test-time-augmentation wrapper, parity of the reference's
+    ttach SegmentationTTAWrapper setup (geo_inference.py:108-124,
+    merge_mode='mean'):
+
+    * flip+rotate -> d4_transform: hflip x rot90 {0,90,180,270} (8)
+    * rotate only -> Rotate90(angles=[90]): the single 90-deg variant
+      (the reference passes no identity angle)
+    * flip only   -> HorizontalFlip x VerticalFlip (4 combos)
+
+    Each variant: spatially augment the chunk, forward, inverse the
+    augmentation on the output, then MEAN-merge. Pure numpy — wraps
+    any (bands, H, W) -> (K, H, W) model_fn, so it composes with the
+    distributed stitch unchanged.
+    """
+    if flip and rotate:
+        combos = [(h, 0, k) for h in (0, 1) for k in (0, 1, 2, 3)]
+    elif rotate:
+        combos = [(0, 0, 1)]
+    elif flip:
+        combos = [(h, v, 0) for h in (0, 1) for v in (0, 1)]
+    else:
+        combos = [(0, 0, 0)]
+
+    def fn(chunk: np.ndarray) -> np.ndarray:
+        outs = []
+        for h, v, k in combos:
+            x = chunk
+            if h:
+                x = x[:, :, ::-1]
+            if v:
+                x = x[:, ::-1, :]
+            if k:
+                x = np.rot90(x, k=k, axes=(1, 2))
+            y = np.asarray(model_fn(np.ascontiguousarray(x)))
+            if k:
+                y = np.rot90(y, k=-k, axes=(1, 2))
+            if v:
+                y = y[:, ::-1, :]
+            if h:
+                y = y[:, :, ::-1]
+            outs.append(y)
+        return np.mean(outs, axis=0)
+
+    return fn
+
+
 # --------------------------------------------------------- stand-in model
 
 def make_linear_model(num_classes: int, seed: int = 17):

@@ -318,18 +318,48 @@ def admin_polygons_df(spark, pdf: pd.DataFrame | None = None):
 
 def write_pages_partitioned(
     spark, n: int, path: str, part_res: int = 4, seed: int = 42,
-    partitions: int | None = None,
+    partitions: int | None = None, n_buckets: int | None = 64,
 ):
-    """Materialize the pages table partitioned by a coarse cell prefix
-    (SURVEY.md §4: "partition the table by cell prefix" so bbox/cell
-    predicates prune at the source — the parquet stand-in for an
-    Iceberg table partitioned by h3 parent). Returns the cell column
-    name used for partitioning."""
+    """Materialize the pages table partitioned for source pruning
+    (SURVEY.md §4 — the parquet stand-in for an Iceberg table with a
+    bucket(N, cell) partition spec).
+
+    Directory layout is ``bucket = pmod(xxhash64(cell), N)``, NOT one
+    directory per raw cell value: a coarse-res cell column has
+    thousands of distinct values (1000+ tiny dirs observed at res 3 in
+    round 1), while N buckets bound the directory count regardless of
+    resolution or skew. The raw cell column stays in the data, so a
+    cell-equality query prunes twice: partition pruning on the bucket
+    (read 1/N of the files) then parquet row-group stats on the cell.
+    Use ``pages_cell_predicate`` to build the two-level filter.
+    ``n_buckets=None`` falls back to raw value partitioning.
+    Returns the cell column name."""
     from ..operators.geocode import hex_cell_udf
     from pyspark.sql import functions as F
 
     col = f"cell_h{part_res}"
     df = pages_df(spark, n, seed=seed, partitions=partitions)
     df = df.withColumn(col, hex_cell_udf(part_res)(F.col("lat"), F.col("lon")))
-    df.write.mode("overwrite").partitionBy(col).parquet(path)
+    if n_buckets is None:
+        df.write.mode("overwrite").partitionBy(col).parquet(path)
+    else:
+        bcol = f"{col}_bkt"
+        df = df.withColumn(
+            bcol, F.pmod(F.xxhash64(F.col(col)), F.lit(int(n_buckets))).cast("int")
+        )
+        df.write.mode("overwrite").partitionBy(bcol).parquet(path)
     return col
+
+
+def pages_cell_predicate(col: str, cell: int, n_buckets: int = 64):
+    """Filter for one cell on a bucket-partitioned pages table:
+    bucket equality (partition pruning) AND cell equality (row-group
+    stats + exactness) — what Iceberg derives automatically from its
+    bucket transform."""
+    from pyspark.sql import functions as F
+
+    bkt = (
+        F.pmod(F.xxhash64(F.lit(int(cell)).cast("long")), F.lit(int(n_buckets)))
+        .cast("int")
+    )
+    return (F.col(f"{col}_bkt") == bkt) & (F.col(col) == int(cell))

@@ -39,35 +39,28 @@ def with_shingles(df: DataFrame, k: int = DEFAULT_K, col: str = "text") -> DataF
 
 def with_minhash_signature(
     df: DataFrame, num_hashes: int = DEFAULT_H, k: int = DEFAULT_K,
-    col: str = "text",
+    col: str = "text", keep_shingles: bool = False,
 ) -> DataFrame:
     """Adds mh0..mh{H-1} (32-char hex minhashes). One projection."""
     df = with_shingles(df, k, col)
     for j in range(num_hashes):
         df = df.withColumn(f"mh{j}", F.expr(P.minhash(P.SPARK, j, "_sh", col)))
-    return df.drop("_sh")
+    return df if keep_shingles else df.drop("_sh")
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    num_hashes: int = DEFAULT_H,
-    rows_per_band: int = DEFAULT_R,
-    k: int = DEFAULT_K,
-    col: str = "text",
+def _banded_buckets(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    rows_per_band: int,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """(id1, id2) candidate near-dup pairs, id1 < id2, distinct.
-
-    A pair collides when ALL minhashes of at least one band agree —
-    the classic banding amplification of shingle Jaccard.
-    """
-    # spread the signature work across all slots BEFORE the heavy md5
-    # projection: a single-file parquet scan is one partition, which
-    # would otherwise hash every shingle on one core (twice — the
-    # self-join reads both sides)
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    sig = with_minhash_signature(df.repartition(par), num_hashes, k, col)
+    """(id, band, key) bucket rows from a signature frame; one explode
+    pass emits every band instead of B unioned scans. ``max_bucket``
+    deterministically drops WHOLE buckets larger than the cap — the
+    standard LSH skew guard (a bucket of N near-identical docs would
+    otherwise emit N^2/2 candidate rows); mirrored in the DuckDB
+    oracle by the same windowed count."""
     bands = num_hashes // rows_per_band
     band_cols = []
     for b in range(bands):
@@ -78,11 +71,23 @@ def lsh_candidate_pairs(
                 F.md5(F.concat(*[F.col(c) for c in mh_cols])).alias("key"),
             )
         )
-    # one pass emits every band (explode), instead of B unioned scans
     buckets = sig.select(
         F.col(id_col).alias("id"),
         F.explode(F.array(*band_cols)).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key")
+        buckets = (
+            buckets.withColumn("_bc", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bc") <= max_bucket)
+            .drop("_bc")
+        )
+    return buckets
+
+
+def _bucket_pair_join(buckets: DataFrame) -> DataFrame:
     l, r = buckets.alias("l"), buckets.alias("r")
     return (
         l.join(
@@ -98,6 +103,66 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_H,
+    rows_per_band: int = DEFAULT_R,
+    k: int = DEFAULT_K,
+    col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(id1, id2) candidate near-dup pairs, id1 < id2, distinct.
+
+    A pair collides when ALL minhashes of at least one band agree —
+    the classic banding amplification of shingle Jaccard.
+    """
+    # spread the signature work across all slots BEFORE the heavy md5
+    # projection: a single-file parquet scan is one partition, which
+    # would otherwise hash every shingle on one core (twice — the
+    # self-join reads both sides)
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    # persist: the self-join reads the signature twice; without it the
+    # md5 projection (the dominant cost) runs once per side
+    sig = with_minhash_signature(df.repartition(par), num_hashes, k, col).persist()
+    return _bucket_pair_join(
+        _banded_buckets(sig, id_col, num_hashes, rows_per_band, max_bucket)
+    )
+
+
+def lsh_collapsed_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_H,
+    rows_per_band: int = DEFAULT_R,
+    k: int = DEFAULT_K,
+    col: str = "text",
+) -> DataFrame:
+    """Skew-proof near-dup edges: exact-duplicate families collapse to
+    their min-id representative BEFORE banding, so a family of N
+    byte-identical docs contributes ONE bucket row per band (not N,
+    which would emit N^2/2 candidate rows in its bucket — the VERDICT
+    r1 LSH blow-up). Output = family edges (rep, member), N-1 per
+    family, UNION LSH candidate pairs among representatives — the
+    edge set whose connected components are the dedup clusters.
+    """
+    fam = df.select(F.col(id_col).alias("id"), F.md5(F.col(col)).alias("h"))
+    reps = fam.groupBy("h").agg(F.min("id").alias("rep"))
+    edges = (
+        fam.join(reps, "h")
+        .filter(F.col("id") != F.col("rep"))
+        .select(F.col("rep").alias("id1"), F.col("id").alias("id2"))
+    )
+    rep_docs = df.join(
+        reps.select(F.col("rep").alias(id_col)), id_col
+    )
+    rep_pairs = lsh_candidate_pairs(
+        rep_docs, id_col, num_hashes, rows_per_band, k, col
+    )
+    return edges.unionByName(rep_pairs).distinct().orderBy("id1", "id2")
+
+
 def jaccard_verified_pairs(
     df: DataFrame,
     threshold: float = 0.7,
@@ -111,11 +176,21 @@ def jaccard_verified_pairs(
 
     The O(n^2) exact check runs ONLY on LSH candidates — the scale
     path for near-dedup at 10^12 docs.
+
+    The shingle+signature projection is computed ONCE and persisted:
+    the bucket self-join reads it twice and the verify stage joins the
+    shingles back, so without the persist the giant md5 projection
+    (and its codegen) would run three times (VERDICT r1 #6).
     """
-    pairs = lsh_candidate_pairs(df, id_col, num_hashes, rows_per_band, k, col)
-    sh = with_shingles(df, k, col).select(
-        F.col(id_col).alias("id"), F.col("_sh").alias("sh")
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    sig = with_minhash_signature(
+        df.repartition(par), num_hashes, k, col, keep_shingles=True
+    ).persist()
+    pairs = _bucket_pair_join(
+        _banded_buckets(sig, id_col, num_hashes, rows_per_band)
     )
+    sh = sig.select(F.col(id_col).alias("id"), F.col("_sh").alias("sh"))
     jac = P.ngram_jaccard(P.SPARK, "sh1", "sh2")
     return (
         pairs.join(sh.select(F.col("id").alias("id1"), F.col("sh").alias("sh1")), "id1")
@@ -146,16 +221,9 @@ def _sig_cte(table: str, num_hashes: int, k: int, id_col: str, col: str) -> str:
     )
 
 
-def lsh_pairs_oracle_sql(
-    table: str = "documents",
-    id_col: str = "doc_id",
-    num_hashes: int = DEFAULT_H,
-    rows_per_band: int = DEFAULT_R,
-    k: int = DEFAULT_K,
-    col: str = "text",
-) -> str:
+def _band_sel(num_hashes: int, rows_per_band: int) -> str:
     bands = num_hashes // rows_per_band
-    band_sel = " UNION ALL ".join(
+    return " UNION ALL ".join(
         "SELECT id, {b} AS band, md5({cc}) AS key FROM sig".format(
             b=b,
             cc=" || ".join(
@@ -164,14 +232,68 @@ def lsh_pairs_oracle_sql(
         )
         for b in range(bands)
     )
+
+
+def lsh_pairs_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_H,
+    rows_per_band: int = DEFAULT_R,
+    k: int = DEFAULT_K,
+    col: str = "text",
+    max_bucket: int | None = None,
+) -> str:
+    buckets = f"buckets0 AS ({_band_sel(num_hashes, rows_per_band)})"
+    if max_bucket is not None:
+        buckets += (
+            ", buckets AS (SELECT id, band, key FROM buckets0 "
+            f"QUALIFY count(*) OVER (PARTITION BY band, key) <= {max_bucket})"
+        )
+    else:
+        buckets += ", buckets AS (SELECT * FROM buckets0)"
     return (
         _sig_cte(table, num_hashes, k, id_col, col)
-        + f", buckets AS ({band_sel}) "
+        + f", {buckets} "
         "SELECT DISTINCT l.id AS id1, r.id AS id2 "
         "FROM buckets l JOIN buckets r "
         "ON l.band = r.band AND l.key = r.key AND l.id < r.id "
         "ORDER BY id1, id2"
     )
+
+
+def lsh_collapsed_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_H,
+    rows_per_band: int = DEFAULT_R,
+    k: int = DEFAULT_K,
+    col: str = "text",
+) -> str:
+    d = P.DUCK
+    sh = P.shingles(d, col, k)
+    mh = ", ".join(
+        f"{P.minhash(d, j, 'sh', col)} AS mh{j}" for j in range(num_hashes)
+    )
+    return f"""
+WITH fam AS (SELECT {id_col} AS id, md5({col}) AS h FROM {table}),
+reps AS (SELECT h, min(id) AS rep FROM fam GROUP BY h),
+edges AS (
+  SELECT r.rep AS id1, f.id AS id2 FROM fam f JOIN reps r ON f.h = r.h
+  WHERE f.id <> r.rep
+),
+repdocs AS (SELECT t.* FROM {table} t JOIN reps ON t.{id_col} = reps.rep),
+shing AS (SELECT {id_col} AS id, {col}, {sh} AS sh FROM repdocs),
+sig AS (SELECT id, {mh} FROM shing),
+buckets AS ({_band_sel(num_hashes, rows_per_band)}),
+reppairs AS (
+  SELECT DISTINCT l.id AS id1, r.id AS id2
+  FROM buckets l JOIN buckets r
+  ON l.band = r.band AND l.key = r.key AND l.id < r.id
+)
+SELECT DISTINCT id1, id2 FROM (
+  SELECT * FROM edges UNION ALL SELECT * FROM reppairs
+) ORDER BY id1, id2
+"""
 
 
 def jaccard_pairs_oracle_sql(

@@ -4,8 +4,9 @@ Images/audio/video ride through the engine as ``binary`` columns with
 a metadata struct; the Spark-side plumbing (schemas, Arrow batching,
 mapInPandas signatures, partition behavior) is real and tested. The
 codec step itself is STUBBED: the container has no image/audio
-libraries, so decode is a deterministic fake derived from the bytes
-(clearly marked below), gated behind an import-try so a real
+libraries, so decode is a deterministic fake derived from the
+md5 of the bytes (clearly marked below; md5 so the DuckDB oracle can
+reproduce every field), gated behind an import-try so a real
 Pillow/torchaudio path drops in unchanged.
 """
 
@@ -26,7 +27,7 @@ except ImportError:
 
 MEDIA_SCHEMA = (
     "id long, media_type string, n_bytes long, width int, height int, "
-    "channels int, mean_byte double, sha1 string"
+    "channels int, mean_byte double, md5 string"
 )
 
 
@@ -35,13 +36,14 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
     plausible (width, height, channels, mean_byte) purely from the
     bytes, so the pipeline shape is exercised end-to-end and results
     are reproducible. Replace with PIL/ffmpeg in production."""
-    h = hashlib.sha1(payload).digest()
+    h = hashlib.md5(payload).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
     channels = 1 + h[2] % 3
     arr = np.frombuffer(payload, dtype=np.uint8)
     mean = float(arr.mean()) if arr.size else 0.0
-    return width, height, channels, round(mean, 6)
+    # SQL ROUND half-up so the DuckDB oracle reproduces the value
+    return width, height, channels, float(np.floor(mean * 1e6 + 0.5) / 1e6)
 
 
 def decode_media(
@@ -64,12 +66,12 @@ def decode_media(
                 w, h, c, m = _fake_decode(b)
                 rows.append(
                     (int(pid), media_type, len(b), w, h, c, m,
-                     hashlib.sha1(b).hexdigest())
+                     hashlib.md5(b).hexdigest())
                 )
             yield pd.DataFrame(
                 rows,
                 columns=["id", "media_type", "n_bytes", "width", "height",
-                         "channels", "mean_byte", "sha1"],
+                         "channels", "mean_byte", "md5"],
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, MEDIA_SCHEMA)

@@ -53,3 +53,40 @@ def test_knn_sparse_region_escalates(spark):
     assert [
         (int(i), round(float(d), 9)) for i, d in zip(got["id"], got["dist"])
     ] == [(i, round(d, 9)) for i, d in exp[9]]
+
+
+def test_knn_haversine_matches_bruteforce(spark):
+    """Geodesic kNN == brute-force haversine ranking; at high latitude
+    the planar and geodesic neighbor sets genuinely differ somewhere,
+    so the metric option is not a no-op."""
+    import pandas as pd
+
+    from geo_inference_spark.operators.knn import KM_PER_DEG, knn_join
+    from geo_inference_spark.sources import pages as P
+
+    docs = P.pages_df(spark, 3000, partitions=4)
+    qpdf = pd.DataFrame(
+        [(0, 62.0, 10.0), (1, 40.7, -74.0), (2, -35.0, 149.0)],
+        columns=["qid", "lat", "lon"],
+    )
+    got = knn_join(
+        spark, docs, qpdf, k=5, res=6, id_col="page_id", metric="haversine"
+    ).toPandas()
+    pts = P.pages_pdf(np.arange(3000, dtype=np.uint64))
+    lat = pts["lat"].to_numpy()
+    lon = pts["lon"].to_numpy()
+    for _, q in qpdf.iterrows():
+        dphi = np.radians(lat - q.lat)
+        dlam = np.radians(lon - q.lon)
+        a = (
+            np.sin(dphi / 2) ** 2
+            + np.cos(np.radians(q.lat)) * np.cos(np.radians(lat))
+            * np.sin(dlam / 2) ** 2
+        )
+        d = 2 * 6371.0088 * np.arcsin(np.sqrt(a))
+        order = np.lexsort((pts["page_id"].to_numpy(), d))[:5]
+        exp_ids = pts["page_id"].to_numpy()[order].tolist()
+        got_ids = got[got.qid == q.qid].sort_values("rn")["id"].tolist()
+        assert got_ids == exp_ids, (q.qid, got_ids, exp_ids)
+    # sanity: distances are km-scale (not degrees)
+    assert got["dist"].max() > 2.0 * KM_PER_DEG / 111.0  # > planar-deg scale

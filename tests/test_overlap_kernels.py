@@ -106,3 +106,58 @@ def test_model_window_patch_degenerate_inputs():
     # the bottom-left of the window
     out = model_window_patch(np.ones((2, 8, 8)) * 9, model, 8, 2, 1, 0, 2, 4)
     np.testing.assert_allclose(out[-1, 4:, :4], 1.0)
+
+
+def test_tta_wrapper_mean_merge():
+    """d4 TTA == hand-computed mean of the 8 aug/deaug forwards, and
+    a symmetric model is TTA-invariant."""
+    from geo_inference_spark.raster.kernels import make_linear_model, tta_wrap
+
+    rng = np.random.RandomState(3)
+    chunk = rng.uniform(0, 255, size=(2, 8, 8))
+    model = make_linear_model(3)
+    wrapped = tta_wrap(model, flip=True, rotate=True)
+    got = wrapped(chunk)
+    # manual recompute
+    outs = []
+    for h in (0, 1):
+        for k in (0, 1, 2, 3):
+            x = chunk[:, :, ::-1] if h else chunk
+            x = np.rot90(x, k=k, axes=(1, 2))
+            y = model(np.ascontiguousarray(x))
+            y = np.rot90(y, k=-k, axes=(1, 2))
+            outs.append(y[:, :, ::-1] if h else y)
+    np.testing.assert_allclose(got, np.mean(outs, axis=0), rtol=0, atol=0)
+    assert got.shape == (3, 8, 8)
+    # probabilities stay normalized under mean merge
+    np.testing.assert_allclose(got.sum(axis=0), 1.0, atol=1e-12)
+    # a spatially-constant model is invariant under TTA
+    const = lambda c: np.full((3, c.shape[1], c.shape[2]), 1.0 / 3)  # noqa: E731
+    np.testing.assert_array_equal(tta_wrap(const)(chunk), const(chunk))
+
+
+def test_tta_variant_counts():
+    from geo_inference_spark.raster.kernels import tta_wrap
+
+    calls = []
+    probe = lambda c: (calls.append(1) or np.zeros((1, *c.shape[1:])))  # noqa: E731
+    for flip, rotate, n in [(True, True, 8), (False, True, 1),
+                            (True, False, 4), (False, False, 1)]:
+        calls.clear()
+        tta_wrap(probe, flip=flip, rotate=rotate)(np.zeros((1, 4, 4)))
+        assert len(calls) == n, (flip, rotate)
+
+
+def test_tta_through_distributed_stitch(spark):
+    """TTA-wrapped model through the full distributed pipeline ==
+    dense oracle with the same wrapped model (R2+TTA parity)."""
+    from geo_inference_spark.operators.overlap import infer_raster
+    from geo_inference_spark.raster.dense import dense_infer_mask
+    from geo_inference_spark.raster.kernels import make_linear_model, tta_wrap
+
+    rng = np.random.RandomState(9)
+    arr = rng.uniform(0, 255, size=(2, 16, 16))
+    model = tta_wrap(make_linear_model(2), flip=True, rotate=True)
+    got = infer_raster(spark, arr, model, patch_size=8, num_classes=2)
+    exp = dense_infer_mask(arr, model, 8, 2)
+    np.testing.assert_array_equal(got, exp)

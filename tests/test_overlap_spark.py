@@ -5,48 +5,16 @@ form of the reference pipeline geo_inference.py:358-397)."""
 import numpy as np
 import pytest
 
-from geo_inference_spark.operators.overlap import (
-    infer_nodata,
-    infer_raster,
-    pad_to_multiple,
-    validity_mask,
-)
-from geo_inference_spark.raster.kernels import finalize_cell, make_linear_model, model_window_patch
+from geo_inference_spark.operators.overlap import infer_raster
+from geo_inference_spark.raster.dense import dense_infer_mask
+from geo_inference_spark.raster.kernels import make_linear_model
 
 RNG = np.random.RandomState(7)
 
 
 def dense_oracle(arr, model_fn, patch, num_classes, no_data=None, thr=0.3):
-    """Independent global computation: run every patch, scatter-add the
-    windowed outputs + weights into one dense accumulator, finalize
-    per stride cell, trim, paint nodata."""
-    stride = patch // 2
-    nd = infer_nodata(arr, no_data)
-    valid = validity_mask(np.asarray(arr), nd)
-    padded = pad_to_multiple(np.asarray(arr, dtype=np.float64), stride)
-    bands, h, w = padded.shape
-    ny, nx = h // stride, w // stride
-    acc = np.zeros((num_classes + 1, h + stride, w + stride))
-    for py in range(ny):
-        for px in range(nx):
-            y0, x0 = py * stride, px * stride
-            if py + 1 < ny and px + 1 < nx:
-                chunk = padded[:, y0 : y0 + patch, x0 : x0 + patch]
-            else:
-                chunk = np.empty((bands, 0, 0))  # no right/bottom halo
-            out = model_window_patch(
-                chunk, model_fn, patch, num_classes, py, px, ny, nx, nd
-            )
-            acc[:, y0 : y0 + patch, x0 : x0 + patch] += out
-    mask = np.zeros((h, w), dtype=np.uint8)
-    for oy in range(ny):
-        for ox in range(nx):
-            y0, x0 = oy * stride, ox * stride
-            mask[y0 : y0 + stride, x0 : x0 + stride] = finalize_cell(
-                acc[:, y0 : y0 + stride, x0 : x0 + stride], thr
-            )
-    mask = mask[: arr.shape[1], : arr.shape[2]]
-    return np.where(valid, mask, np.uint8(255))
+    """Global scatter-add reference (raster/dense.py)."""
+    return dense_infer_mask(arr, model_fn, patch, num_classes, no_data, thr)
 
 
 @pytest.mark.parametrize(

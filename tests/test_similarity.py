@@ -51,3 +51,101 @@ def test_srp_lsh_recall(spark, emb):
     for qid in exact["qid"].unique():
         a1 = approx[(approx.qid == qid) & (approx.rn == 1)]
         assert len(a1) == 1 and a1["id"].iloc[0] == qid
+
+
+def test_cosine_pairs_matches_oracle(spark, emb):
+    from geo_inference_spark.text.similarity import (
+        cosine_pairs,
+        cosine_pairs_oracle_sql,
+    )
+
+    got = cosine_pairs(emb, threshold=0.4).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    exp = con.sql(cosine_pairs_oracle_sql(threshold=0.4)).fetchdf()
+    assert len(got) == len(exp) > 0
+    assert got["id1"].tolist() == exp["id1"].tolist()
+    assert got["id2"].tolist() == exp["id2"].tolist()
+    assert got["cos"].tolist() == exp["cos"].tolist()
+
+
+def test_cosine_pairs_beyond_driver_scale(spark):
+    """50k x 64 — the full cosine matrix would be 20 GB, far beyond a
+    driver-side matmul (the round-1 implementation). The triangle
+    block join must find exactly the planted near-dup pairs."""
+    import pandas as pd
+
+    from geo_inference_spark.text.similarity import cosine_pairs
+
+    rng = np.random.RandomState(11)
+    n, dim = 50_000, 64
+    m = rng.normal(size=(n, dim))
+    planted = []
+    for t in range(20):
+        a, b = 2 * t, 2 * t + 1  # ids 0..39 reserved for plants
+        v = rng.normal(size=dim)
+        m[a] = v
+        m[b] = v + 0.03 * rng.normal(size=dim)
+        planted.append((a, b))
+    # verify plants are above and random pairs below the threshold
+    mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+    for a, b in planted:
+        assert mn[a] @ mn[b] >= 0.95
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64),
+         "embedding": list(m.astype(np.float32))}
+    )
+    emb_big = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    got = cosine_pairs(emb_big, threshold=0.9).toPandas()
+    assert {(r.id1, r.id2) for r in got.itertuples()} == set(planted)
+
+
+def test_cosine_pairs_lsh_parity_and_recall(spark, emb):
+    from geo_inference_spark.text.similarity import (
+        cosine_pairs,
+        cosine_pairs_lsh,
+        cosine_pairs_lsh_oracle_sql,
+    )
+
+    got = cosine_pairs_lsh(emb, threshold=0.4).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    exp = con.sql(cosine_pairs_lsh_oracle_sql(threshold=0.4)).fetchdf()
+    assert got["id1"].tolist() == exp["id1"].tolist()
+    assert got["cos"].tolist() == exp["cos"].tolist()
+    # every LSH pair is a true pair (refine is exact)...
+    exact = cosine_pairs(emb, threshold=0.4).toPandas()
+    exact_set = {(r.id1, r.id2) for r in exact.itertuples()}
+    lsh_set = {(r.id1, r.id2) for r in got.itertuples()}
+    assert lsh_set <= exact_set
+    # ...and recall on the near-random driver embeddings is high
+    assert len(lsh_set) / len(exact_set) >= 0.9
+
+
+def test_srp_lsh_recall_clustered(spark):
+    """Recall >= 0.9 on CLUSTERED embeddings (hotspot mixture like the
+    pages geography) — the realistic regime, vs the near-random
+    driver table where SRP recall is structurally low."""
+    import pandas as pd
+
+    rng = np.random.RandomState(5)
+    n_clusters, per, dim = 40, 50, 64
+    cents = rng.normal(size=(n_clusters, dim))
+    cents /= np.sqrt((cents * cents).sum(axis=1, keepdims=True))
+    rows = cents[np.repeat(np.arange(n_clusters), per)] + 0.05 * rng.normal(
+        size=(n_clusters * per, dim)
+    )
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(rows), dtype=np.int64),
+         "embedding": list(rows.astype(np.float32))}
+    )
+    embc = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    q = embedding_queries(embc, n=8)
+    exact = cosine_topk(embc, q, k=5).toPandas()
+    approx = srp_lsh_topk(spark, embc, q, k=5, nbits=8, probe_bits=2).toPandas()
+    recalls = []
+    for qid in exact["qid"].unique():
+        e = set(exact[exact.qid == qid]["id"])
+        a = set(approx[approx.qid == qid]["id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.9, recalls

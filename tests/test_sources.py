@@ -119,3 +119,44 @@ def test_stac_asset_resolution(tmp_path):
     p2.write_text(_json.dumps(bad))
     with pytest.raises(ValueError):
         stac_assets_by_common_name(str(p2))
+
+
+# --------------------------------------------------------- raster IO seam
+
+def test_raster_io_gated_without_rasterio():
+    import geo_inference_spark.sources.raster_io as rio_mod
+
+    if rio_mod._HAS_RASTERIO:  # pragma: no cover - not in this container
+        return
+    import pytest as _pytest
+
+    with _pytest.raises(ImportError, match="rasterio"):
+        rio_mod.read_geotiff_chunks(None, "/x.tif", 8)
+    with _pytest.raises(ImportError, match="rasterio"):
+        rio_mod.write_mask_geotiff(None, 8, {}, "/x.tif")
+
+
+def test_raster_io_profile_and_assembly():
+    """The rasterio-free pieces: reference mask profile fields and the
+    tile -> dense assembly (trim + 255 fill for absent tiles)."""
+    import numpy as np
+
+    from geo_inference_spark.sources.raster_io import assemble_mask, mask_profile
+
+    meta = {"width": 10, "height": 7, "crs": "EPSG:4326",
+            "transform": (1.0, 0.0, 5.0, 0.0, -1.0, 9.0)}
+    prof = mask_profile(meta)
+    assert prof["driver"] == "GTiff" and prof["dtype"] == "uint8"
+    assert prof["compress"] == "lzw" and prof["BIGTIFF"] == "YES"
+    assert prof["nodata"] == 255 and prof["count"] == 1 and prof["tiled"]
+
+    t00 = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    rows = [
+        {"ty": 0, "tx": 0, "mask": t00.tobytes()},
+        {"ty": 1, "tx": 2, "mask": np.full((4, 4), 7, np.uint8).tobytes()},
+    ]
+    m = assemble_mask(rows, 4, 7, 10)
+    assert m.shape == (7, 10)
+    np.testing.assert_array_equal(m[:4, :4], t00)
+    assert (m[4:7, 8:10] == 7).all()
+    assert (m[:4, 4:8] == 255).all()  # absent tiles -> nodata

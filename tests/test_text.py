@@ -104,3 +104,47 @@ def test_lsh_recovers_near_dups_on_pages(spark):
     v = verified.toPandas()
     assert len(v) > 0
     assert (v["jaccard"] >= 0.8).all()
+
+
+def test_lsh_collapsed_matches_oracle(spark, docs, con):
+    got = _rows(DD.lsh_collapsed_pairs(docs))
+    exp = con.sql(DD.lsh_collapsed_oracle_sql()).fetchall()
+    assert got == [tuple(r) for r in exp]
+    assert len(got) > 0
+
+
+def test_lsh_identical_family_bounded(spark):
+    """A 1k-identical-doc family: plain LSH would emit ~500k pairs in
+    one bucket; the collapsed variant emits exactly N-1 family edges
+    (+ rep-level pairs), and max_bucket drops the hot bucket."""
+    import pandas as pd
+
+    n_fam, n_other = 1000, 200
+    rows = [(i, "the same exact duplicated text body repeated") for i in range(n_fam)]
+    rows += [
+        (n_fam + i, " ".join(f"tok{i}x{j}" for j in range(8)))
+        for i in range(n_other)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        schema="doc_id long, text string",
+    )
+    out = DD.lsh_collapsed_pairs(df).toPandas()
+    fam = out[out.id2 < n_fam]
+    assert len(fam) == n_fam - 1  # N-1 edges, not N^2/2 pairs
+    assert (fam.id1 == 0).all()
+    assert len(out) < 5 * n_fam  # nowhere near quadratic
+
+    # max_bucket cap: the identical family's buckets exceed the cap
+    # and are dropped whole; distinct-doc collisions survive
+    capped = DD.lsh_candidate_pairs(df, max_bucket=16).toPandas()
+    assert not ((capped.id1 < n_fam) & (capped.id2 < n_fam)).any()
+    # and the capped oracle reproduces it exactly
+    con2 = duckdb.connect()
+    con2.register("family_docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    exp = con2.sql(
+        DD.lsh_pairs_oracle_sql(table="family_docs", max_bucket=16)
+    ).fetchdf()
+    got = capped.sort_values(["id1", "id2"]).reset_index(drop=True)
+    exp = exp.sort_values(["id1", "id2"]).reset_index(drop=True)
+    assert got.equals(exp.astype(got.dtypes.to_dict()))

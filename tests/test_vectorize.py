@@ -206,3 +206,24 @@ def test_annotations_multipolygon_full_parts(spark):
     px = polygons_to_px(df, TRANSFORM, W, H, "img.tif").collect()[0]
     kind, parts = parse_wkb(bytes(px.geom_wkb))
     assert kind == "multipolygon" and len(parts) == 2
+
+
+def test_distributed_cc_snake_many_tiles(spark):
+    """A 1-px boustrophedon snake across a 16x16 tile grid (128x128
+    mask): one component spanning ~every tile with a long graph
+    diameter — exercises the distributed hash-min + pointer-jumping
+    connected components (no driver union-find)."""
+    mask = np.zeros((128, 128), dtype=np.uint8)
+    for band in range(0, 128, 16):
+        mask[band, :] = 1  # horizontal run
+        if band + 16 < 128:
+            if (band // 16) % 2 == 0:
+                mask[band : band + 17, -1] = 1  # right connector
+            else:
+                mask[band : band + 17, 0] = 1  # left connector
+    got = polys_of(polygonize_tiles(spark, tiles_of(spark, mask, 8), 8))
+    exp = mask_to_polygons(mask)
+    assert len(got) == len(exp) == 1
+    assert got[0][2] == polygon_area(exp[0][0])
+    for gr, er in zip(got[0][0], exp[0][0]):
+        np.testing.assert_array_equal(gr, er)
