@@ -46,6 +46,9 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
+        # isolate queries: drop persisted frames (dedup signatures,
+        # polygonize facts) so storage pressure can't bleed across
+        spark.catalog.clearCache()
 
     # north-star workload: pages table (materialized once, untimed —
     # at 10^12 rows the table already exists in Iceberg) -> geocode ->

@@ -11,12 +11,12 @@ the pipeline splits the work by what is local vs global:
          kind 2  border-strip cell (axis, border line, index, value)
     -> border cells self-join on the shared border key: equal values
        across a border => the two local components are one global one
-    -> DISTRIBUTED connected components over local components:
-       iterative hash-min label propagation + pointer jumping
-       (label-of-label contraction), O(log diameter) rounds, each one
-       shuffle on the node id — nothing is ever collected to the
-       driver (the round-1 driver union-find was VERDICT scale-killer
-       #2)
+    -> connected components over the BORDER graph only (never the
+       full O(#components) node set — that driver union-find was the
+       round-1 scale-killer #2): union-find on the collected
+       perimeter-sized graph when small, distributed hash-min label
+       propagation + pointer jumping (O(log diameter) rounds) above
+       a measured edge-count threshold
     -> (tile, lid) -> gid map joined onto edges (broadcast when the
        component count is small, shuffle join otherwise)
     -> SHUFFLE groupBy(gid): reversed duplicate edge pairs (the two
@@ -141,74 +141,119 @@ def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
     max_iters: int = 64,
+    driver_threshold: int = 5_000_000,
 ) -> DataFrame:
-    """Distributed CC: nodes (nid, seed), undirected edges (nid1,
-    nid2) -> (nid, gid) with gid = min seed of the component.
+    """CC over the BORDER graph: nodes (nid, seed), undirected edges
+    (nid1, nid2) -> (nid, gid) with gid = min seed of the component.
 
-    Hash-min label propagation: each round every node takes the min of
-    its own label, its neighbors' labels, and — pointer jumping — the
-    label of the node that OWNS its current label (labels are seeds,
-    every seed belongs to exactly one node of the same component, so
-    the contraction is component-safe and gives the O(log diameter)
-    doubling of Kiveris et al.'s star operations). Each round is one
-    aggregation shuffle + two hash joins and one count action; the
-    loop exits when no label changed.
+    Only components that touch a tile border can merge, so the
+    algorithm never materializes the full node set (O(mask area /
+    component size)); it works on the border graph, which is
+    O(tile perimeter) — ~3 orders of magnitude smaller. Interior
+    components keep gid = seed via the final left join.
+
+    Two regimes by measured edge count:
+    * border graph fits the driver comfortably (< driver_threshold
+      edges) -> classic union-find on the collected border graph —
+      one collect of perimeter-sized data, microseconds of CPU;
+    * above it -> distributed hash-min label propagation with pointer
+      jumping (the O(log diameter) doubling of Kiveris et al.'s star
+      operations), on RDDs: Catalyst recomputes plan statistics
+      inside every DataFrame localCheckpoint and a per-round plan
+      with ~5 join leaves COMPOUNDS the size estimate round over
+      round — by round ~8 the sizeInBytes BigInteger has millions of
+      digits and stats estimation burns minutes of driver CPU
+      (measured). RDD localCheckpoint truncates lineage with no stats
+      machinery — the classic reason iterative graph algorithms
+      (GraphX, Pregel) live on RDDs.
     """
-    both = edges.unionByName(
-        edges.select(
-            F.col("nid2").alias("nid1"), F.col("nid1").alias("nid2")
+    spark = nodes.sparkSession
+    edges = edges.persist()
+    n_edges = edges.count()
+
+    if n_edges <= driver_threshold:
+        edge_rows = edges.collect()
+        border_ids = {r[0] for r in edge_rows} | {r[1] for r in edge_rows}
+        bdf = spark.createDataFrame(
+            [(int(n),) for n in border_ids] or [(int(-1),)], schema="nid long"
         )
-    ).persist()
-    seeds = nodes.select(
-        F.col("seed").alias("s_seed"), F.col("nid").alias("s_nid")
-    ).persist()
-    labels = nodes.select("nid", F.col("seed").alias("lbl")).localCheckpoint()
+        bseeds = {
+            r["nid"]: r["seed"] for r in nodes.join(bdf, "nid").collect()
+        }
+        parent: dict = {}
+
+        def find(x):
+            p = parent.setdefault(x, x)
+            while p != x:
+                parent[x] = p = parent.setdefault(p, p)
+                x, p = p, parent[p]
+            return p
+
+        for r in edge_rows:
+            rx, ry = find(r[0]), find(r[1])
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        gid_of: dict = {}
+        for n, s in bseeds.items():
+            root = find(n)
+            gid_of[root] = min(gid_of.get(root, s), s)
+        mapping = [(int(n), int(gid_of[find(n)])) for n in bseeds]
+        gids = spark.createDataFrame(
+            mapping or [(-1, -1)], schema="nid long, lbl long"
+        )
+        edges.unpersist()
+        return nodes.join(gids, "nid", "left").select(
+            "nid", F.coalesce(F.col("lbl"), F.col("seed")).alias("gid")
+        )
+
+    # partition count sized to the border graph, NOT inherited from
+    # upstream — every Python-RDD task costs a worker round-trip, so
+    # a tiny graph on many partitions is pure overhead
+    p = max(4, min(256, n_edges // 2_000_000))
+    e = edges.rdd.map(lambda r: (r[0], r[1]))
+    both = (
+        e.union(e.map(lambda kv: (kv[1], kv[0]))).distinct(p).cache()
+    )
+    border = both.keys().distinct(p).map(lambda n: (n, None))
+    labels = (
+        nodes.rdd.map(lambda r: (r[0], r[1]))
+        .join(border, p)
+        .mapValues(lambda v: v[0])
+        .cache()
+    )
+    labels.localCheckpoint()
+    seeds = labels.map(lambda kv: (kv[1], kv[0])).cache()  # seed -> owner nid
     for _ in range(max_iters):
+        # hash-min: min label over neighbors
         msgs = (
-            both.join(
-                labels.select(
-                    F.col("nid").alias("nid2"), F.col("lbl").alias("nlbl")
-                ),
-                "nid2",
-            )
-            .groupBy("nid1")
-            .agg(F.min("nlbl").alias("minn"))
-            .select(F.col("nid1").alias("nid"), "minn")
+            both.join(labels, p)
+            .map(lambda kv: (kv[1][0], kv[1][1]))
+            .reduceByKey(min, p)
         )
+        # pointer jump: label of the node that OWNS my current label
         jump = (
-            labels.join(seeds, labels["lbl"] == seeds["s_seed"])
-            .select("nid", F.col("s_nid").alias("onid"))
-            .join(
-                labels.select(
-                    F.col("nid").alias("onid"), F.col("lbl").alias("jlbl")
-                ),
-                "onid",
-            )
-            .select("nid", "jlbl")
+            labels.map(lambda kv: (kv[1], kv[0]))  # (lbl, nid)
+            .join(seeds, p)  # (lbl, (nid, onid))
+            .map(lambda kv: (kv[1][1], kv[1][0]))  # (onid, nid)
+            .join(labels, p)  # (onid, (nid, olbl))
+            .map(lambda kv: (kv[1][0], kv[1][1]))  # (nid, olbl)
         )
-        upd = (
-            labels.join(msgs, "nid", "left")
-            .join(jump, "nid", "left")
-            .withColumn(
-                "nlbl2",
-                F.least(
-                    F.col("lbl"),
-                    F.coalesce(F.col("minn"), F.col("lbl")),
-                    F.coalesce(F.col("jlbl"), F.col("lbl")),
-                ),
-            )
-        ).persist()
-        changed = upd.filter(F.col("nlbl2") < F.col("lbl")).count()
-        # localCheckpoint: truncate the per-iteration lineage so plan
-        # size stays O(1) across rounds
-        labels = upd.select(
-            "nid", F.col("nlbl2").alias("lbl")
-        ).localCheckpoint()
-        upd.unpersist()
+        # new label = min over (own, neighbor-min, jump) — msgs/jump
+        # key sets are subsets of labels', so the union covers all
+        upd = labels.union(msgs).union(jump).reduceByKey(min, p).cache()
+        upd.localCheckpoint()  # per-round lineage stays O(1)
+        changed = (
+            upd.join(labels, p).filter(lambda kv: kv[1][0] < kv[1][1]).count()
+        )
+        labels = upd
         if changed == 0:
-            both.unpersist()
-            seeds.unpersist()
-            return labels.select("nid", F.col("lbl").alias("gid"))
+            gids = spark.createDataFrame(
+                labels.map(lambda kv: (kv[0], kv[1])), schema="nid long, lbl long"
+            )
+            edges.unpersist()
+            return nodes.join(gids, "nid", "left").select(
+                "nid", F.coalesce(F.col("lbl"), F.col("seed")).alias("gid")
+            )
     raise RuntimeError(f"connected_components: no fixpoint in {max_iters} rounds")
 
 
@@ -220,6 +265,7 @@ def polygonize_tiles(
     min_area: float = 0.0,
     simplify: bool = False,
     tolerance: float = 1.0,
+    cc_driver_threshold: int = 5_000_000,
 ) -> DataFrame:
     """(ty, tx, mask) -> (poly_id, value, area, geom_wkb).
 
@@ -262,7 +308,9 @@ def polygonize_tiles(
     nodes = comps.withColumn(
         "nid", _pack_nid(F.col("ty"), F.col("tx"), F.col("lid"))
     )
-    gids = connected_components(nodes.select("nid", "seed"), adj)
+    gids = connected_components(
+        nodes.select("nid", "seed"), adj, driver_threshold=cc_driver_threshold
+    )
     map_df = nodes.join(gids, "nid").select("ty", "tx", "lid", "gid", "value")
     # the map is O(#local components); broadcast it while that is
     # small, fall back to a shuffle join on fragmented petabyte masks

@@ -221,7 +221,11 @@ def test_distributed_cc_snake_many_tiles(spark):
                 mask[band : band + 17, -1] = 1  # right connector
             else:
                 mask[band : band + 17, 0] = 1  # left connector
-    got = polys_of(polygonize_tiles(spark, tiles_of(spark, mask, 8), 8))
+    got = polys_of(
+        polygonize_tiles(
+            spark, tiles_of(spark, mask, 8), 8, cc_driver_threshold=0
+        )
+    )
     exp = mask_to_polygons(mask)
     assert len(got) == len(exp) == 1
     assert got[0][2] == polygon_area(exp[0][0])
