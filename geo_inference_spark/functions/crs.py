@@ -2,10 +2,12 @@
 
 The reference leans on pyproj/rasterio (utils/geo.py:83-103
 check_crs; transform_bounds calls in utils/geo_transforms.py:237-252).
-pyproj is not in this container, so the two CRSs the engine actually
-uses — EPSG:4326 (lon/lat degrees) and EPSG:3857 (web mercator) — are
-implemented from the public spherical-mercator formulas; anything
-else raises, loudly, rather than silently misprojecting.
+pyproj is not in this container, so the CRSs the engine supports are
+implemented from public formulas: EPSG:4326 (lon/lat), EPSG:3857
+(spherical web mercator), and the full UTM family EPSG:326xx/327xx
+(ellipsoidal transverse Mercator, Krüger n-series, sub-mm vs the
+series' own truncation). Anything else raises, loudly, rather than
+silently misprojecting.
 """
 
 from __future__ import annotations
@@ -53,12 +55,128 @@ def transform_bounds(
     src, dst = check_crs(src_crs), check_crs(dst_crs)
     if src == dst:
         return (minx, miny, maxx, maxy)
-    if (src, dst) == ("EPSG:4326", "EPSG:3857"):
-        x0, y0 = _to_3857(minx, miny)
-        x1, y1 = _to_3857(maxx, maxy)
-    elif (src, dst) == ("EPSG:3857", "EPSG:4326"):
-        x0, y0 = _to_4326(minx, miny)
-        x1, y1 = _to_4326(maxx, maxy)
+    # densified edges (transform_bounds parity: UTM edges curve)
+    pts = []
+    for i in range(21):
+        f = i / 20.0
+        pts.append((minx + f * (maxx - minx), miny))
+        pts.append((minx + f * (maxx - minx), maxy))
+        pts.append((minx, miny + f * (maxy - miny)))
+        pts.append((maxx, miny + f * (maxy - miny)))
+    out = [transform_point(src, dst, x, y) for x, y in pts]
+    xs = [p[0] for p in out]
+    ys = [p[1] for p in out]
+    return (min(xs), min(ys), max(xs), max(ys))
+
+
+# ---------------------------------------------------------------- UTM
+# Ellipsoidal transverse Mercator via the Krüger n-series (public
+# formulation: Krüger 1912; Karney 2011 "Transverse Mercator with an
+# accuracy of a few nanometers"). Third order in n — truncation error
+# O(n^4) ~ 0.05 mm for WGS84 — replaces the reference's pyproj path
+# for EPSG:326xx/327xx (UTM north/south) without any dependency.
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_K0 = 0.9996
+_E0 = 500_000.0
+_NS_FALSE = 10_000_000.0
+
+_e2 = _WGS84_F * (2 - _WGS84_F)
+_e = math.sqrt(_e2)
+_n = _WGS84_F / (2 - _WGS84_F)
+# rectifying radius
+_A = _WGS84_A / (1 + _n) * (1 + _n**2 / 4 + _n**4 / 64)
+_ALPHA = (
+    _n / 2 - 2 * _n**2 / 3 + 5 * _n**3 / 16,
+    13 * _n**2 / 48 - 3 * _n**3 / 5,
+    61 * _n**3 / 240,
+)
+_BETA = (
+    _n / 2 - 2 * _n**2 / 3 + 37 * _n**3 / 96,
+    _n**2 / 48 + _n**3 / 15,
+    17 * _n**3 / 480,
+)
+
+
+def utm_zone_epsg(lon: float, lat: float) -> int:
+    """EPSG code of the UTM zone containing (lon, lat)."""
+    zone = int((lon + 180.0) // 6.0) % 60 + 1
+    return (32600 if lat >= 0 else 32700) + zone
+
+
+def _utm_central_lon(epsg: int) -> tuple[float, bool]:
+    code = epsg % 100
+    north = 32600 < epsg < 32661
+    if not (1 <= code <= 60 and (north or 32700 < epsg < 32761)):
+        raise ValueError(f"not a UTM EPSG code: {epsg}")
+    return -183.0 + 6.0 * code, north
+
+
+def lonlat_to_utm(lon: float, lat: float, epsg: int) -> tuple[float, float]:
+    lon0, north = _utm_central_lon(epsg)
+    lam = math.radians(lon - lon0)
+    phi = math.radians(lat)
+    s = math.sin(phi)
+    # conformal latitude via the Gauss-Schreiber tau
+    t = math.sinh(math.atanh(s) - _e * math.atanh(_e * s))
+    xi_p = math.atan2(t, math.cos(lam))
+    eta_p = math.asinh(math.sin(lam) / math.hypot(t, math.cos(lam)))
+    xi, eta = xi_p, eta_p
+    for j, a in enumerate(_ALPHA, start=1):
+        xi += a * math.sin(2 * j * xi_p) * math.cosh(2 * j * eta_p)
+        eta += a * math.cos(2 * j * xi_p) * math.sinh(2 * j * eta_p)
+    e_ = _E0 + _K0 * _A * eta
+    n_ = _K0 * _A * xi + (0.0 if north else _NS_FALSE)
+    return e_, n_
+
+
+def utm_to_lonlat(easting: float, northing: float, epsg: int) -> tuple[float, float]:
+    lon0, north = _utm_central_lon(epsg)
+    if not north:
+        northing -= _NS_FALSE
+    xi = northing / (_K0 * _A)
+    eta = (easting - _E0) / (_K0 * _A)
+    xi_p, eta_p = xi, eta
+    for j, b in enumerate(_BETA, start=1):
+        xi_p -= b * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+        eta_p -= b * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+    t = math.sin(xi_p) / math.sqrt(
+        math.sinh(eta_p) ** 2 + math.cos(xi_p) ** 2
+    )
+    lam = math.atan2(math.sinh(eta_p), math.cos(xi_p))
+    # invert the conformal latitude: Newton on
+    # g(phi) = sinh(atanh(sin phi) - e atanh(e sin phi)) - t
+    phi = math.atan(t)
+    for _ in range(12):
+        s = math.sin(phi)
+        psi = math.atanh(s) - _e * math.atanh(_e * s)
+        g = math.sinh(psi) - t
+        dpsi = (1 - _e2) / ((1 - _e2 * s * s) * math.cos(phi))
+        d = math.cosh(psi) * dpsi
+        step = g / d
+        phi -= step
+        if abs(step) < 1e-15:
+            break
+    return lon0 + math.degrees(lam), math.degrees(phi)
+
+
+def transform_point(src_crs, dst_crs, x: float, y: float) -> tuple[float, float]:
+    """Point reprojection across 4326 / 3857 / UTM 326xx-327xx."""
+    src, dst = check_crs(src_crs), check_crs(dst_crs)
+    if src == dst:
+        return (x, y)
+    # normalize through lon/lat
+    sc = int(src.split(":")[1])
+    if src == "EPSG:4326":
+        lon, lat = x, y
+    elif src == "EPSG:3857":
+        lon, lat = _to_4326(x, y)
     else:
-        raise ValueError(f"unsupported reprojection {src} -> {dst}")
-    return (min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1))
+        lon, lat = utm_to_lonlat(x, y, sc)
+    dc = int(dst.split(":")[1])
+    if dst == "EPSG:4326":
+        return (lon, lat)
+    if dst == "EPSG:3857":
+        return _to_3857(lon, lat)
+    return lonlat_to_utm(lon, lat, dc)
