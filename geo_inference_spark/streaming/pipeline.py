@@ -97,3 +97,49 @@ def foreach_batch_pip(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sessionize_stream(stream: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom STATEFUL operator via applyInPandasWithState: per-user
+    gap-based sessionization with state carried across micro-batches
+    (the Structured Streaming form of q_events_sessions' lag-window).
+
+    State per user = (last event epoch, session count, event count);
+    each trigger folds its rows in event-time order into the carried
+    state and emits the running totals (update mode). With input
+    files ordered by event time the final emitted row per user equals
+    the batch computation exactly — pinned in test_streaming.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = float(gap_seconds)
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        rows = pd.concat(list(pdf_iter))
+        for ts in rows["ts"].sort_values():
+            t = ts.timestamp()
+            if last_ts is None or t - last_ts > gap:
+                n_sessions += 1
+            last_ts = t
+            n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_sessions long, n_events long",
+        stateStructType="last_ts double, n_sessions long, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

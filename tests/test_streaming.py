@@ -128,3 +128,68 @@ def test_foreach_batch_pip_matches_batch_join(spark, pages_dir, tmp_path):
     )
     exp = {(r.page_id, r.area_id) for r in exp_df.select("page_id", "area_id").collect()}
     assert got == exp and len(exp) > 0
+
+
+def test_stateful_sessionize_stream_equals_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization across 4 micro-batches ==
+    the batch lag-window computation on the same events."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from geo_inference_spark.streaming.pipeline import sessionize_stream
+
+    rng = np.random.RandomState(8)
+    n = 2000
+    base = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 25, n).astype("int64"),
+            "ts": base + pd.to_timedelta(
+                np.sort(rng.randint(0, 7 * 86400, n)), unit="s"
+            ),
+        }
+    ).sort_values("ts").reset_index(drop=True)
+    src = tmp_path / "ev_stream"
+    src.mkdir()
+    for i, chunk in enumerate(np.array_split(np.arange(n), 4)):
+        spark.createDataFrame(
+            ev.iloc[chunk], schema="user_id long, ts timestamp"
+        ).coalesce(1).write.parquet(str(src / f"f{i}.parquet"))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = sessionize_stream(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("SELECT * FROM sessions_stateful")
+        .toPandas()
+        .groupby("user_id")
+        .last()  # last update per user = final totals
+    )
+    # batch oracle: lag-window gap sessionization
+    bdf = spark.createDataFrame(ev, schema="user_id long, ts timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    exp = (
+        bdf.withColumn(
+            "new_s",
+            F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    for uid in exp.index:
+        assert got.loc[uid, "n_sessions"] == exp.loc[uid, "n_sessions"], uid
+        assert got.loc[uid, "n_events"] == exp.loc[uid, "n_events"], uid
