@@ -208,3 +208,31 @@ def infer_raster(
         [(r.ty, r.tx, r.mask) for r in tiles], ny, nx, stride
     )[: arr.shape[1], : arr.shape[2]]
     return np.where(valid, mask, np.uint8(255))
+
+
+def select_bands(
+    chunks: DataFrame, bands_requested: list[int], n_bands: int, stride: int
+) -> DataFrame:
+    """P1 — band select/reorder on the chunk table (the reference's
+    bands_requested handling, geo_inference.py:237-266 / aoi band
+    subsetting): one Arrow pass re-slices the leading (band) axis of
+    every chunk; order is preserved, duplicates allowed (e.g. gray ->
+    pseudo-RGB [1,1,1]). 1-based indices like the reference CLI."""
+    idx = [int(b) - 1 for b in bands_requested]
+    if not idx or min(idx) < 0 or max(idx) >= n_bands:
+        raise ValueError(
+            f"bands_requested {bands_requested} out of range for {n_bands} bands"
+        )
+    s = int(stride)
+
+    def run(pdf_iter):
+        for pdf in pdf_iter:
+            out = []
+            for b in pdf["chunk"]:
+                a = bytes_to_np(bytes(b), (n_bands, s, s))
+                out.append(np_to_bytes(a[idx]))
+            pdf = pdf.copy()
+            pdf["chunk"] = out
+            yield pdf
+
+    return chunks.mapInPandas(run, CHUNK_SCHEMA)

@@ -46,3 +46,28 @@ def test_stitch_single_class_threshold(spark):
     exp = dense_oracle(arr, model, 8, 1, thr=0.3)
     np.testing.assert_array_equal(got, exp)
     assert set(np.unique(got)) <= {0, 1, 255}
+
+
+def test_select_bands_reorder(spark):
+    """P1: band subset/reorder/duplicate on the chunk table, then the
+    full stitch on the subset == stitch on a pre-sliced array."""
+    from geo_inference_spark.operators.overlap import (
+        bytes_to_np,
+        raster_to_chunks,
+        select_bands,
+    )
+
+    arr = RNG.uniform(0, 255, size=(3, 8, 8))
+    chunks, ny, nx = raster_to_chunks(spark, arr, 4)
+    sel = select_bands(chunks, [3, 1, 1], 3, 4).collect()
+    for r in sel:
+        got = bytes_to_np(bytes(r.chunk), (3, 4, 4))
+        y0, x0 = r.ty * 4, r.tx * 4
+        exp = arr[[2, 0, 0], y0 : y0 + 4, x0 : x0 + 4]
+        np.testing.assert_array_equal(got, exp)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        select_bands(chunks, [0], 3, 4)
+    with _pytest.raises(ValueError):
+        select_bands(chunks, [4], 3, 4)
