@@ -61,12 +61,16 @@ def main() -> None:
     pages = spark.read.parquet(pages_path)
     polys = synth_admin_polygons(n_areas=64)
     # first run warms codegen/JIT (untimed); the throughput claim is
-    # steady state — at 10^12 rows the compile cost amortizes to zero
+    # steady state — at 10^12 rows the compile cost amortizes to zero.
+    # MEDIAN of 3 timed runs: this shared host's minute-scale load
+    # swings otherwise dominate the headline number
     pages_per_area(spark, pages, polys, res=8).count()
-    t0 = time.perf_counter()
-    out = pages_per_area(spark, pages, polys, res=8)
-    out.count()
-    pip_sec = time.perf_counter() - t0
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pages_per_area(spark, pages, polys, res=8).count()
+        runs.append(time.perf_counter() - t0)
+    pip_sec = sorted(runs)[1]
     timings["pages_pip_join"] = round(pip_sec, 3)
 
     total = round(sum(timings.values()), 3)

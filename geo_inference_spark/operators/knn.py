@@ -120,10 +120,13 @@ def knn_join(
     inflate ~1/cos(lat); same SQL in the DuckDB oracle).
     """
     s = hexgrid.cell_size(res)
+    # persist the geocoded projection: every escalation round (and the
+    # brute-force fallback) re-reads it, and without the persist each
+    # action re-runs the geocode UDF over the full table
     pts = points.select(
         F.col(id_col).alias("id"), F.col(lat_col).alias("lat"),
         F.col(lon_col).alias("lon"),
-    ).withColumn("cell", hex_cell_udf(res)(F.col("lat"), F.col("lon")))
+    ).withColumn("cell", hex_cell_udf(res)(F.col("lat"), F.col("lon"))).persist()
 
     remaining = queries[["qid", "lat", "lon"]].copy()
     results: list = []
@@ -184,6 +187,7 @@ def knn_join(
             )
             results.append(got)
 
+    pts.unpersist()
     out = (
         pd.concat(results, ignore_index=True)
         if results
