@@ -221,6 +221,16 @@ def q_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_lsh_topk(spark, emb, embedding_queries(emb, n=4), k=5)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (kmeans lists + n_probe scan + exact
+    re-rank). Rows-only check (centroids come from sampled kmeans, not
+    SQL-expressible); recall pinned in tests/test_similarity.py."""
+    from geo_inference_spark.text.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(spark, emb, embedding_queries(emb, n=4), k=5)
+
+
 def q_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 10^12-row near-dup pair path: SRP band signatures ->
     bucket self-join -> exact cosine refine on candidates only. The
@@ -525,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_pairs": q_cosine_pairs,
         "ann_cosine_pairs_lsh": q_cosine_pairs_lsh,
         "ann_srp_lsh_topk": q_srp_lsh_topk,
+        "ann_ivf_topk": q_ivf_topk,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
