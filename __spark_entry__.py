@@ -550,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q1_pricing_summary": R.q1_pricing_summary,
         "rel_q3_shipping_priority": R.q3_shipping_priority,
         "rel_q5_local_supplier_volume": R.q5_local_supplier_volume,
+        "rel_q6_revenue_by_year": R.q6_revenue_by_year,
         "rel_top_orders_per_customer": R.q_top_orders_per_customer,
         "rel_rollup_region_nation": R.q_rollup_region_nation,
     }
@@ -694,6 +695,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_q1_pricing_summary": R.Q1_ORACLE,
         "rel_q3_shipping_priority": R.Q3_ORACLE,
         "rel_q5_local_supplier_volume": R.Q5_ORACLE,
+        "rel_q6_revenue_by_year": R.Q6_ORACLE,
         "rel_top_orders_per_customer": R.TOP_ORDERS_ORACLE,
         "rel_rollup_region_nation": R.ROLLUP_ORACLE,
     }

@@ -200,3 +200,35 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
 ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
 """
+
+
+def q6_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: potential-revenue scan-aggregate — the pure
+    filter+agg plan (no join) whose entire predicate set must reach
+    the parquet scan as PushedFilters."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.08)
+            & (F.col("l_quantity") < 24)
+        )
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+Q6_ORACLE = """
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_discount >= 0.02 AND l_discount <= 0.08 AND l_quantity < 24
+GROUP BY 1 ORDER BY ship_year
+"""
