@@ -54,3 +54,61 @@ def test_lsh_pairs_plan_is_hash_join(spark):
     assert "Join" in plan  # equi-join on (band, key), never a nested loop
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_pairs_triangle_plan(spark):
+    """Exact distributed pairs: ONE exchange feeding one grouped-map
+    (the triangle block join), no cartesian/nested-loop anywhere,
+    no collect-based stage."""
+    from geo_inference_spark.text.similarity import cosine_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = cosine_pairs(emb, threshold=0.4, n_blocks=4)
+    plan = plan_of(out)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_pairs_lsh_plan(spark):
+    """Bucketed pair join: equi-join on (band, key), not a cross join;
+    refine joins are hash joins."""
+    from geo_inference_spark.text.similarity import cosine_pairs_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = cosine_pairs_lsh(emb, threshold=0.4)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_interval_join_plan_no_nested_loop(spark):
+    """The bucketized range join must plan as a hash equi-join."""
+    from pyspark.sql import functions as F
+
+    from geo_inference_spark.operators.interval_join import interval_join
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    iv = orders.limit(10).select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("end"),
+    )
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        F.col("l_shipdate").alias("ts")
+    )
+    plan = plan_of(interval_join(li, iv, bucket_seconds=7 * 86400))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q6_pushes_filters_to_scan(spark):
+    """TPC-H Q6 shape: the discount/quantity predicates must reach the
+    parquet scan as PushedFilters."""
+    from geo_inference_spark.operators.relational import q6_revenue_by_year
+
+    plan = plan_of(q6_revenue_by_year(spark, "/root/testdata/sf0.001"))
+    lines = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert lines, plan
+    assert "l_discount" in lines[0] and "l_quantity" in lines[0]
