@@ -38,6 +38,7 @@ from geo_inference_spark.text.similarity import (
     cosine_topk_oracle_sql,
     embedding_queries,
     srp_lsh_topk,
+    srp_lsh_topk_oracle_sql,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -215,8 +216,11 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN (bucketed). Rows-only check (no SQL oracle);
-    recall vs brute force is pinned in tests/test_similarity.py."""
+    """Approximate ANN (bucketed multi-probe). Value-exact oracle: the
+    Rademacher signature is the same SQL expression in DuckDB, and the
+    enumerated probes == Hamming distance <= probe_bits, so the twin
+    computes identical candidates; recall vs brute force is pinned in
+    tests/test_similarity.py."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return srp_lsh_topk(spark, emb, embedding_queries(emb, n=4), k=5)
 
@@ -639,6 +643,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": cosine_topk_oracle_sql(n_queries=4, k=5),
         "ann_cosine_pairs": cosine_pairs_oracle_sql(threshold=0.4),
         "ann_cosine_pairs_lsh": cosine_pairs_lsh_oracle_sql(threshold=0.4),
+        "ann_srp_lsh_topk": srp_lsh_topk_oracle_sql(n_queries=4, k=5),
         "geocode_cells": _geocode_cells_oracle(),
         "media_decode": _media_decode_oracle(),
         "raster_overlap_polygonize": _overlap_polygonize_oracle(),

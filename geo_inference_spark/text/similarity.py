@@ -111,7 +111,21 @@ ORDER BY qid, rn
 # ------------------------------------------------------------ SRP-LSH
 
 def _srp_planes(dim: int, nbits: int, seed: int = 1234) -> np.ndarray:
-    return np.random.RandomState(seed).normal(size=(nbits, dim))
+    """Rademacher (+-1) sign planes — a valid cosine-LSH family whose
+    projections are pure +-column sums, reproducible bit-for-bit in
+    SQL (see _srp_signs / srp_dot_sql below), which is what lets the
+    DuckDB oracle certify the bucketed ANN end to end."""
+    rng = np.random.RandomState(seed)
+    return np.where(rng.rand(nbits, dim) < 0.5, -1.0, 1.0)
+
+
+def _srp_fold_bits(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sequential-over-dims accumulation — the identical left fold the
+    SQL twin evaluates, so signs agree exactly across engines."""
+    acc = np.zeros((len(m), planes.shape[0]))
+    for i in range(planes.shape[1]):
+        acc += m[:, i : i + 1] * planes[None, :, i]
+    return acc > 0
 
 
 def srp_signature_udf(dim: int, nbits: int = 16, seed: int = 1234):
@@ -119,8 +133,8 @@ def srp_signature_udf(dim: int, nbits: int = 16, seed: int = 1234):
 
     @F.pandas_udf(LongType())
     def sig(vec: pd.Series) -> pd.Series:
-        m = np.stack(vec.to_numpy())  # (n, dim)
-        bits = (m @ planes.T) > 0  # (n, nbits)
+        m = np.stack(vec.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = _srp_fold_bits(m, planes)
         out = np.zeros(len(m), dtype=np.int64)
         for b in range(nbits):
             out |= bits[:, b].astype(np.int64) << b
@@ -158,7 +172,7 @@ def srp_lsh_topk(
     probes = []
     for _, row in qp.iterrows():
         v = np.asarray(row[qvec_col], dtype=np.float64)
-        bits = (planes @ v) > 0
+        bits = _srp_fold_bits(v[None, :], planes)[0]
         s0 = int(sum(int(b) << i for i, b in enumerate(bits)))
         cand = {s0}
         if probe_bits >= 1:
@@ -599,3 +613,50 @@ def ivf_topk(
         .select("qid", "id", "cos", "rn")
         .orderBy("qid", "rn")
     )
+
+
+def srp_lsh_topk_oracle_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    n_queries: int = 4,
+    dim: int = 64,
+    nbits: int = 8,
+    probe_bits: int = 2,
+    seed: int = 1234,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of srp_lsh_topk: the same Rademacher signature as a
+    SQL expression, with multi-probe expressed as its exact algebraic
+    form — candidates are rows whose bucket is within probe_bits
+    Hamming distance of the query's (the Spark side enumerates all
+    0/1/2-bit flips, which is the identical set)."""
+    signs = _srp_planes(dim, nbits, seed)
+    key = srp_band_key_sql("duck", signs, 0, nbits, "raw")
+    return f"""
+WITH e AS (
+  SELECT {id_col} AS id, {vec_col} AS raw,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+), n AS (
+  SELECT id, v, {key} AS bucket,
+         list_aggregate(list_transform(v, x -> x * x), 'sum') AS nrm
+  FROM e
+), q AS (
+  SELECT id AS qid, v AS qv, nrm AS qn, bucket AS qb
+  FROM n WHERE id < {n_queries}
+), scored AS (
+  SELECT q.qid, n.id,
+         round(
+           list_aggregate(
+             list_transform(range(1, len(n.v) + 1),
+                            i -> list_extract(n.v, i) * list_extract(q.qv, i)),
+             'sum') / (sqrt(n.nrm) * sqrt(q.qn)), 6) AS cos
+  FROM n JOIN q ON bit_count(xor(n.bucket, q.qb)) <= {probe_bits}
+)
+SELECT qid, id, cos,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS INT) AS rn
+FROM scored
+QUALIFY rn <= {k}
+ORDER BY qid, rn
+"""
