@@ -4,9 +4,10 @@ entry(spark)   — flagship: geocode documents -> broadcast PIP join vs
                  the 45-degree admin grid -> counts per area (sf0.001).
 queries()      — one callable per implemented operator (SURVEY.md §2).
 oracle_sql()   — DuckDB-equivalent SQL per query (same column names).
-                 Queries without an entry here are rows-only checked
-                 (non-SQL-expressible: hex-grid geocode internals,
-                 overlap stitch, distributed polygonize, SRP-LSH ANN).
+                 33/35 queries are value-exact; only ann_ivf_topk
+                 (sampled-kmeans centroids aren't SQL-expressible) and
+                 pages_extract_identity (the byte-identity invariant
+                 IS the check) are rows-only.
 """
 
 from __future__ import annotations
