@@ -168,11 +168,12 @@ def connected_components(
       (GraphX, Pregel) live on RDDs.
     """
     spark = nodes.sparkSession
-    edges = edges.persist()
-    n_edges = edges.count()
+    # ONE job decides the regime AND fetches the small case's data:
+    # limit(T+1) returns the complete edge set iff it fits the budget
+    probe = edges.limit(driver_threshold + 1).collect()
 
-    if n_edges <= driver_threshold:
-        edge_rows = edges.collect()
+    if len(probe) <= driver_threshold:
+        edge_rows = probe
         border_ids = {r[0] for r in edge_rows} | {r[1] for r in edge_rows}
         bdf = spark.createDataFrame(
             [(int(n),) for n in border_ids] or [(int(-1),)], schema="nid long"
@@ -201,11 +202,14 @@ def connected_components(
         gids = spark.createDataFrame(
             mapping or [(-1, -1)], schema="nid long, lbl long"
         )
-        edges.unpersist()
         return nodes.join(gids, "nid", "left").select(
             "nid", F.coalesce(F.col("lbl"), F.col("seed")).alias("gid")
         )
 
+    # big regime: count once for partition sizing (the probe already
+    # paid the scan; edges is small-schema and recomputes cheaply)
+    edges = edges.persist()
+    n_edges = edges.count()
     # partition count sized to the border graph, NOT inherited from
     # upstream — every Python-RDD task costs a worker round-trip, so
     # a tiny graph on many partitions is pure overhead
