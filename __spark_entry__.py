@@ -4,7 +4,7 @@ entry(spark)   — flagship: geocode documents -> broadcast PIP join vs
                  the 45-degree admin grid -> counts per area (sf0.001).
 queries()      — one callable per implemented operator (SURVEY.md §2).
 oracle_sql()   — DuckDB-equivalent SQL per query (same column names).
-                 33/35 queries are value-exact; only ann_ivf_topk
+                 34/36 queries are value-exact; only ann_ivf_topk
                  (sampled-kmeans centroids aren't SQL-expressible) and
                  pages_extract_identity (the byte-identity invariant
                  IS the check) are rows-only.
@@ -380,6 +380,40 @@ def q_pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cell_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-cell counts via the explicit two-phase SALTED aggregation
+    (operators/salting.py) — the skew mitigation for heavy-tailed
+    geo keys, value-checked against a plain GROUP BY oracle (salting
+    is algebraically invisible for associative aggregates)."""
+    from geo_inference_spark.operators.geocode import hex_cell_sql
+    from geo_inference_spark.operators.salting import salted_agg
+
+    docs = _docs_with_latlon(spark, sf_dir).select(
+        F.expr(hex_cell_sql(5)).alias("cell")
+    )
+    out = salted_agg(docs, ["cell"], {"n_pages": ("*", "count")}, n=16)
+    return (
+        out.orderBy(F.desc("n_pages"), "cell")
+        .limit(50)
+        .select("cell", F.col("n_pages").cast("long").alias("n_pages"))
+    )
+
+
+def _cell_counts_salted_oracle() -> str:
+    from geo_inference_spark.operators.geocode import hex_cell_sql
+
+    cell = hex_cell_sql(5, dialect="duck")
+    return f"""
+        WITH pts AS (
+          SELECT {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents
+        ), c AS (
+          SELECT {cell} AS cell, count(*) AS n_pages FROM pts GROUP BY 1
+        )
+        SELECT cell, CAST(n_pages AS BIGINT) AS n_pages FROM c
+        ORDER BY n_pages DESC, cell LIMIT 50
+    """
+
+
 def q_geocode_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-res hex geocode surface: distinct cell counts at res 7-10
     over the documents table, computed by the pure whole-stage-codegen
@@ -549,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_shipments": q_interval_join,
         "pages_extract_identity": q_pages_extract,
         "geocode_cells": q_geocode_cells,
+        "cell_counts_salted": q_cell_counts_salted,
         "media_byte_stats": q_media_bytes,
         "media_decode": q_media_decode,
         "raster_overlap_polygonize": q_overlap_polygonize,
@@ -646,6 +681,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_pairs_lsh": cosine_pairs_lsh_oracle_sql(threshold=0.4),
         "ann_srp_lsh_topk": srp_lsh_topk_oracle_sql(n_queries=4, k=5),
         "geocode_cells": _geocode_cells_oracle(),
+        "cell_counts_salted": _cell_counts_salted_oracle(),
         "media_decode": _media_decode_oracle(),
         "raster_overlap_polygonize": _overlap_polygonize_oracle(),
         "events_hourly": """
