@@ -126,7 +126,18 @@ def _load_raster(path: str, bbox):
             arr = arr[:, miny:maxy, minx:maxx]
             meta["height"], meta["width"] = arr.shape[1], arr.shape[2]
         return arr.astype(np.float64), meta
-    import rasterio
+    try:
+        import rasterio
+    except ImportError:
+        # stdlib codec: uncompressed classic GeoTIFF works with zero
+        # dependencies; compressed/BigTIFF raise pointing at rasterio
+        from .sources.tiff import read_geotiff
+
+        if bbox:
+            raise ValueError(
+                "bbox crop on GeoTIFF needs rasterio windowed reads"
+            )
+        return read_geotiff(path)
 
     with rasterio.open(path) as src:
         if bbox:

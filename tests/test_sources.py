@@ -226,3 +226,62 @@ def test_zarr_v2_unsupported_codec(tmp_path):
                    "compressor": {"id": "blosc"}}, f)
     with _pytest.raises(ValueError, match="blosc"):
         _zarray_meta(zp)
+
+
+# --------------------------------------------------------- stdlib GeoTIFF
+
+def test_geotiff_roundtrip_and_chunks(spark, tmp_path):
+    """write_geotiff -> read_geotiff roundtrips pixels, transform and
+    EPSG for multi-band float and single-band uint8; the chunk scan
+    feeds the stitch unchanged."""
+    import numpy as np
+
+    from geo_inference_spark.operators.overlap import bytes_to_np
+    from geo_inference_spark.sources.tiff import (
+        read_geotiff,
+        read_geotiff_chunks_stdlib,
+        write_geotiff,
+    )
+
+    rng = np.random.RandomState(5)
+    t = (0.5, 0.0, 100.0, 0.0, -0.5, 300.0)
+    # multi-band float32, multiple strips
+    a = rng.uniform(0, 255, size=(3, 70, 40)).astype(np.float32)
+    fp = str(tmp_path / "a.tif")
+    write_geotiff(a, fp, transform=t, epsg=32618, rows_per_strip=16)
+    got, meta = read_geotiff(fp)
+    np.testing.assert_array_equal(got, a.astype(np.float64))
+    assert meta["transform"] == t
+    assert meta["crs"] == "EPSG:32618"
+    assert (meta["count"], meta["height"], meta["width"]) == (3, 70, 40)
+    # single-band uint8 mask (the S8 shape), one strip
+    m = rng.randint(0, 4, size=(12, 16)).astype(np.uint8)
+    fp2 = str(tmp_path / "m.tif")
+    write_geotiff(m, fp2, transform=t, epsg=4326, rows_per_strip=64)
+    got2, meta2 = read_geotiff(fp2)
+    np.testing.assert_array_equal(got2[0], m.astype(np.float64))
+    assert meta2["crs"] == "EPSG:4326"
+    # distributed chunk scan
+    df, ny, nx, meta3 = read_geotiff_chunks_stdlib(spark, fp, stride=8)
+    assert (ny, nx) == (9, 5)  # 70->72, 40->40 at stride 8
+    r = {(x.ty, x.tx): bytes_to_np(bytes(x.chunk), (3, 8, 8))
+         for x in df.collect()}
+    np.testing.assert_array_equal(r[(0, 0)], a[:, :8, :8].astype(np.float64))
+
+
+def test_geotiff_reader_rejects_compressed(tmp_path):
+    import struct
+
+    import pytest as _pytest
+
+    from geo_inference_spark.sources.tiff import read_geotiff
+
+    # forge a minimal IFD claiming LZW compression
+    ifd = struct.pack("<H", 1) + struct.pack(
+        "<HHI", 259, 3, 1
+    ) + struct.pack("<HH", 5, 0) + struct.pack("<I", 0)
+    buf = b"II*\0" + struct.pack("<I", 8) + ifd
+    fp = str(tmp_path / "c.tif")
+    open(fp, "wb").write(buf)
+    with _pytest.raises(ValueError, match="rasterio"):
+        read_geotiff(fp)
