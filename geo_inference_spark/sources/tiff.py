@@ -276,3 +276,29 @@ def read_geotiff_chunks_stdlib(spark, path: str, stride: int, partitions=None):
     arr, meta = read_geotiff(path)
     df, ny, nx = raster_to_chunks(spark, arr, stride, partitions)
     return df, ny, nx, meta
+
+
+def read_stac_item_stack(item_path: str, bands_requested: list[str]):
+    """S3 end-to-end on real files: resolve a STAC item's single-band
+    GeoTIFF assets by eo:bands common_name and stack them in request
+    order -> ((bands, H, W) float64, meta of the first band). Hrefs
+    must be local/mounted paths (HTTP fetch is out of scope here —
+    at scale the hrefs are object-store keys executors read directly).
+    """
+    import os
+
+    from .manifest import stac_band_hrefs
+
+    hrefs = stac_band_hrefs(item_path, bands_requested)
+    base = os.path.dirname(os.path.abspath(item_path))
+    arrs, meta0 = [], None
+    for href in hrefs:
+        p = href if os.path.isabs(href) else os.path.join(base, href)
+        arr, meta = read_geotiff(p)
+        if meta0 is None:
+            meta0 = meta
+        elif (meta["width"], meta["height"]) != (meta0["width"], meta0["height"]):
+            raise ValueError("STAC band assets disagree on raster shape")
+        arrs.append(arr[0])
+    meta0["count"] = len(arrs)
+    return np.stack(arrs), meta0

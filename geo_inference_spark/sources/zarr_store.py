@@ -136,3 +136,46 @@ def read_zarr_chunks(spark, path: str, partitions: int | None = None):
             yield pd.DataFrame({"ty": pdf["ty"], "tx": pdf["tx"], "chunk": out})
 
     return tasks.mapInPandas(decode, CHUNK_SCHEMA), ny, nx, meta
+
+
+def write_mask_zarr(tiles, path: str, stride: int, height: int, width: int,
+                    attrs: dict | None = None) -> None:
+    """S8 zarr sink, DISTRIBUTED: every executor writes its own mask
+    tiles as independent zarr chunk files (raw uint8 — the exact
+    object-store write pattern zarr exists for: no coordination, no
+    driver assembly); the driver only writes the tiny .zarray. Tiles
+    absent from the table are left unwritten = fill_value (sparse)."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    s = int(stride)
+    ny = -(-height // s)
+    nx = -(-width // s)
+    os.makedirs(path, exist_ok=True)
+    meta = {
+        "zarr_format": 2,
+        "shape": [1, ny * s, nx * s],
+        "chunks": [1, s, s],
+        "dtype": "|u1",
+        "compressor": None,
+        "fill_value": 255,
+        "order": "C",
+        "filters": None,
+    }
+    with open(os.path.join(path, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    if attrs is not None:
+        with open(os.path.join(path, ".zattrs"), "w") as f:
+            json.dump(attrs, f)
+
+    def write(pdf_iter):
+        n = 0
+        for pdf in pdf_iter:
+            for ty, tx, m in zip(pdf["ty"], pdf["tx"], pdf["mask"]):
+                with open(os.path.join(path, f"0.{int(ty)}.{int(tx)}"), "wb") as f:
+                    f.write(bytes(m))
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    tiles.select("ty", "tx", "mask").mapInPandas(write, "n long").agg(
+        {"n": "sum"}
+    ).collect()

@@ -285,3 +285,66 @@ def test_geotiff_reader_rejects_compressed(tmp_path):
     open(fp, "wb").write(buf)
     with _pytest.raises(ValueError, match="rasterio"):
         read_geotiff(fp)
+
+
+def test_mask_zarr_sink_distributed(spark, tmp_path):
+    """Distributed zarr mask sink: executor-written chunks read back
+    exactly; absent tiles come back as fill 255."""
+    import numpy as np
+
+    from geo_inference_spark.sources.zarr_store import (
+        read_zarr_chunks,
+        write_mask_zarr,
+    )
+
+    rng = np.random.RandomState(3)
+    t00 = rng.randint(0, 3, (4, 4)).astype(np.uint8)
+    t11 = rng.randint(0, 3, (4, 4)).astype(np.uint8)
+    tiles = spark.createDataFrame(
+        [(0, 0, t00.tobytes()), (1, 1, t11.tobytes())],
+        schema="ty int, tx int, mask binary",
+    )
+    zp = str(tmp_path / "mask.zarr")
+    write_mask_zarr(tiles, zp, stride=4, height=8, width=8)
+    chunks, ny, nx, meta = read_zarr_chunks(spark, zp)
+    assert (ny, nx) == (2, 2) and meta["fill_value"] == 255
+    got = {(r.ty, r.tx): np.frombuffer(bytes(r.chunk), dtype=np.float64)
+           .reshape(1, 4, 4) for r in chunks.collect()}
+    np.testing.assert_array_equal(got[(0, 0)][0], t00.astype(np.float64))
+    np.testing.assert_array_equal(got[(1, 1)][0], t11.astype(np.float64))
+    assert (got[(0, 1)] == 255.0).all()  # unwritten tile -> fill
+
+
+def test_stac_item_band_stack(tmp_path):
+    """STAC item with local single-band GeoTIFF assets -> stacked
+    array in requested order via the stdlib codec."""
+    import json
+
+    import numpy as np
+
+    from geo_inference_spark.sources.tiff import (
+        read_stac_item_stack,
+        write_geotiff,
+    )
+
+    rng = np.random.RandomState(4)
+    bands = {}
+    for cn in ("red", "green", "nir"):
+        a = rng.uniform(0, 255, size=(10, 12)).astype(np.float32)
+        write_geotiff(a, str(tmp_path / f"{cn}.tif"),
+                      transform=(1.0, 0, 0, 0, -1.0, 0), epsg=32610)
+        bands[cn] = a
+    item = {
+        "assets": {
+            cn: {"href": f"{cn}.tif",
+                 "eo:bands": [{"common_name": cn}]}
+            for cn in bands
+        }
+    }
+    ip = str(tmp_path / "item.json")
+    json.dump(item, open(ip, "w"))
+    arr, meta = read_stac_item_stack(ip, ["nir", "red"])
+    assert arr.shape == (2, 10, 12) and meta["count"] == 2
+    np.testing.assert_array_equal(arr[0], bands["nir"].astype(np.float64))
+    np.testing.assert_array_equal(arr[1], bands["red"].astype(np.float64))
+    assert meta["crs"] == "EPSG:32610"
