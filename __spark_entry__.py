@@ -4,7 +4,7 @@ entry(spark)   — flagship: geocode documents -> broadcast PIP join vs
                  the 45-degree admin grid -> counts per area (sf0.001).
 queries()      — one callable per implemented operator (SURVEY.md §2).
 oracle_sql()   — DuckDB-equivalent SQL per query (same column names).
-                 34/36 queries are value-exact; only ann_ivf_topk
+                 35/37 queries are value-exact; only ann_ivf_topk
                  (sampled-kmeans centroids aren't SQL-expressible) and
                  pages_extract_identity (the byte-identity invariant
                  IS the check) are rows-only.
@@ -591,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q3_shipping_priority": R.q3_shipping_priority,
         "rel_q5_local_supplier_volume": R.q5_local_supplier_volume,
         "rel_q6_revenue_by_year": R.q6_revenue_by_year,
+        "rel_q4_priority_semi_join": R.q4_priority_semi_join,
         "rel_top_orders_per_customer": R.q_top_orders_per_customer,
         "rel_rollup_region_nation": R.q_rollup_region_nation,
     }
@@ -738,6 +739,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_q3_shipping_priority": R.Q3_ORACLE,
         "rel_q5_local_supplier_volume": R.Q5_ORACLE,
         "rel_q6_revenue_by_year": R.Q6_ORACLE,
+        "rel_q4_priority_semi_join": R.Q4_ORACLE,
         "rel_top_orders_per_customer": R.TOP_ORDERS_ORACLE,
         "rel_rollup_region_nation": R.ROLLUP_ORACLE,
     }

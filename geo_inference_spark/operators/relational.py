@@ -232,3 +232,31 @@ FROM lineitem
 WHERE l_discount >= 0.02 AND l_discount <= 0.08 AND l_quantity < 24
 GROUP BY 1 ORDER BY ship_year
 """
+
+
+def q4_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted to this schema's columns): orders with
+    at least one returned lineitem, counted by priority — the LEFT
+    SEMI join plan (EXISTS), which never duplicates or widens the
+    probe side."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
