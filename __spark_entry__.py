@@ -4,7 +4,7 @@ entry(spark)   — flagship: geocode documents -> broadcast PIP join vs
                  the 45-degree admin grid -> counts per area (sf0.001).
 queries()      — one callable per implemented operator (SURVEY.md §2).
 oracle_sql()   — DuckDB-equivalent SQL per query (same column names).
-                 35/37 queries are value-exact; only ann_ivf_topk
+                 36/38 queries are value-exact; only ann_ivf_topk
                  (sampled-kmeans centroids aren't SQL-expressible) and
                  pages_extract_identity (the byte-identity invariant
                  IS the check) are rows-only.
@@ -139,6 +139,13 @@ def q_lsh_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     per band before banding; output = family edges + rep pairs."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return DD.lsh_collapsed_pairs(docs)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup decision: near-dup connected components via the
+    engine's distributed CC; DuckDB twin = recursive CTE."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD.dedup_clusters(docs)
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -563,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_exact_dedup,
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_lsh_collapsed": q_lsh_collapsed,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_jaccard_pairs": q_jaccard_pairs,
         "dedup_simhash": q_simhash,
         "text_token_stats": q_token_stats,
@@ -662,6 +670,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": DD.lsh_pairs_oracle_sql(),
         "dedup_lsh_collapsed": DD.lsh_collapsed_oracle_sql(),
+        "dedup_clusters": DD.dedup_clusters_oracle_sql(),
         "dedup_jaccard_pairs": DD.jaccard_pairs_oracle_sql(threshold=0.5),
         "dedup_simhash": DD.simhash_oracle_sql(),
         "text_token_stats": """

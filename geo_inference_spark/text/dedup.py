@@ -326,3 +326,62 @@ def simhash_oracle_sql(
         f"CAST({P.simhash_bits(P.DUCK, nbits, col)} AS BIGINT) AS simhash "
         f"FROM {table} ORDER BY doc_id"
     )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_H,
+    rows_per_band: int = DEFAULT_R,
+    k: int = DEFAULT_K,
+    col: str = "text",
+) -> DataFrame:
+    """(doc_id, cluster_id): the dedup DECISION — connected components
+    of the near-dup edge graph (lsh_collapsed_pairs), cluster_id = min
+    doc id of the component (keep it, drop the rest). Runs on the
+    engine's distributed connected_components; the DuckDB twin is a
+    recursive CTE over the same edges, so the whole clustering is
+    value-checked end to end."""
+    from ..operators.vectorize import connected_components
+
+    pairs = lsh_collapsed_pairs(df, id_col, num_hashes, rows_per_band, k, col)
+    nodes = df.select(
+        F.col(id_col).cast("long").alias("nid"),
+        F.col(id_col).cast("long").alias("seed"),
+    )
+    edges = pairs.select(
+        F.col("id1").alias("nid1"), F.col("id2").alias("nid2")
+    )
+    return (
+        connected_components(nodes, edges)
+        .select(
+            F.col("nid").alias("doc_id"), F.col("gid").alias("cluster_id")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_clusters_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_H,
+    rows_per_band: int = DEFAULT_R,
+    k: int = DEFAULT_K,
+    col: str = "text",
+) -> str:
+    pairs = lsh_collapsed_oracle_sql(
+        table, id_col, num_hashes, rows_per_band, k, col
+    ).strip()
+    assert pairs.endswith("ORDER BY id1, id2")
+    pairs = pairs[: -len("ORDER BY id1, id2")]
+    return f"""
+WITH RECURSIVE pr AS ({pairs}),
+und AS (SELECT id1 AS a, id2 AS b FROM pr UNION ALL SELECT id2, id1 FROM pr),
+reach(id, lbl) AS (
+  SELECT {id_col}, {id_col} FROM {table}
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN und e ON e.a = r.id
+)
+SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id ORDER BY doc_id
+"""
