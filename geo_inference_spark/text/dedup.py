@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import portable as P
+from .cache import attach, release  # noqa: F401 (release re-exported)
 
 DEFAULT_H = 8  # minhashes
 DEFAULT_R = 2  # rows per band
@@ -124,11 +125,13 @@ def lsh_candidate_pairs(
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     # persist: the self-join reads the signature twice; without it the
-    # md5 projection (the dominant cost) runs once per side
+    # md5 projection (the dominant cost) runs once per side. The caller
+    # releases it via cache.release(out) once done (ADVICE r2).
     sig = with_minhash_signature(df.repartition(par), num_hashes, k, col).persist()
-    return _bucket_pair_join(
+    out = _bucket_pair_join(
         _banded_buckets(sig, id_col, num_hashes, rows_per_band, max_bucket)
     )
+    return attach(out, sig)
 
 
 def lsh_collapsed_pairs(
@@ -160,7 +163,8 @@ def lsh_collapsed_pairs(
     rep_pairs = lsh_candidate_pairs(
         rep_docs, id_col, num_hashes, rows_per_band, k, col
     )
-    return edges.unionByName(rep_pairs).distinct().orderBy("id1", "id2")
+    out = edges.unionByName(rep_pairs).distinct().orderBy("id1", "id2")
+    return attach(out, *getattr(rep_pairs, "_cached_deps", []))
 
 
 def jaccard_verified_pairs(
@@ -192,13 +196,14 @@ def jaccard_verified_pairs(
     )
     sh = sig.select(F.col(id_col).alias("id"), F.col("_sh").alias("sh"))
     jac = P.ngram_jaccard(P.SPARK, "sh1", "sh2")
-    return (
+    out = (
         pairs.join(sh.select(F.col("id").alias("id1"), F.col("sh").alias("sh1")), "id1")
         .join(sh.select(F.col("id").alias("id2"), F.col("sh").alias("sh2")), "id2")
         .withColumn("jaccard", F.round(F.expr(jac), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
+    return attach(out, sig)
 
 
 def with_simhash(df: DataFrame, nbits: int = 16, col: str = "text") -> DataFrame:

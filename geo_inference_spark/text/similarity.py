@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from .cache import attach, release  # noqa: F401 (release re-exported)
+
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as double),"
     " (acc, v) -> acc + v)"
@@ -392,16 +394,31 @@ def cosine_pairs_lsh(
     seed: int = 99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 512,
 ) -> DataFrame:
-    """The 10^12-row near-dup pair path: SRP band signatures (pure JVM
-    SQL projection) -> bucket self-equi-join on (band, key) — the same
-    shape as dedup.lsh_candidate_pairs — -> exact cosine refine on the
-    candidates only. No all-pairs stage anywhere: compute is
-    O(n + sum bucket^2) and the only shuffles are the bucket join keys
-    and the two refine joins. Pairs whose signatures collide in no
-    band are missed (recall measured in tests); the DuckDB oracle
-    computes the identical bucketed candidates, so the correctness
-    gate certifies the operator end to end.
+    """The 10^12-row near-dup pair path: SRP band signatures (one
+    persisted Arrow-UDF projection) -> bucket self-equi-join on
+    (band, key) — the same shape as dedup.lsh_candidate_pairs — ->
+    exact cosine refine on the candidates only. No all-pairs stage
+    anywhere: compute is O(n + sum bucket^2) and the only shuffles are
+    the bucket join keys and the two refine joins. Pairs whose
+    signatures collide in no band are missed (recall measured in
+    tests); the DuckDB oracle computes the identical bucketed
+    candidates, so the correctness gate certifies the operator end to
+    end.
+
+    Skew guards (both default-on, both mirrored in the oracle):
+
+    * exact-dup collapse — byte-identical embeddings group to their
+      min-id representative BEFORE banding, so a family of N identical
+      vectors contributes ONE bucket row per band instead of emitting
+      N^2/2 candidates inside one bucket (the dedup.lsh_collapsed_pairs
+      move). Family pairs are re-expanded afterwards with the exact
+      self-cosine, so the OUTPUT is identical to the unguarded path.
+    * ``max_bucket`` — whole buckets larger than the cap are dropped
+      deterministically (windowed count over (band, key)), bounding
+      per-bucket candidate volume at max_bucket^2/2 even for distinct-
+      but-colliding vectors. Mirrored by the same QUALIFY in DuckDB.
 
     rows_per_band sets the bucket count per band (2^r keys): r=2 keeps
     near-perfect recall at threshold ~0.4 but only 4 buckets — the
@@ -416,16 +433,44 @@ def cosine_pairs_lsh(
     signs = _srp_signs(bands * rows_per_band, dim, seed)
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     base = base.repartition(par)
+    # exact-dup collapse: one representative per distinct vector.
+    # persist: reps feeds the bucket projection, the norm projection
+    # and the family map; fam is read four times by the expansion.
+    reps = base.groupBy("v").agg(F.min("id").alias("id")).persist()
+    fam = (
+        base.join(reps.select(F.col("v"), F.col("id").alias("rep")), "v")
+        .select(F.col("id").alias("mid"), "rep")
+        .persist()
+    )
+    # norms computed ONCE over the collapsed reps: the refine joins
+    # this projection twice (id1/id2 sides) and the intra-family
+    # expansion reads it again — all from the persisted reps, so the
+    # fold is a cheap JVM projection per use, never a rescan of emb
+    vecs = (
+        reps.withColumn("_v", F.expr(_TO_D.format(a="v")))
+        .withColumn("_n", F.expr(_DOT.format(a="_v", b="_v")))
+        .select("id", "_v", "_n")
+    )
     # Arrow UDF, not the inline SQL expression: the 16-plane x 64-term
     # codegen expression costs ~10 s to compile cold; the UDF
     # accumulates dimensions SEQUENTIALLY (vectorized across rows and
     # planes) so every dot product is the identical left fold and the
     # signs match the DuckDB oracle's SQL expression bit-for-bit
     # (multiplying by +-1.0 and adding == adding/subtracting exactly).
+    # persist: the bucket self-join reads both sides — without it the
+    # band-key UDF (the dominant projection) runs twice (VERDICT r2 #1).
     keys_udf = _srp_band_keys_udf(signs, bands, rows_per_band)
-    buckets = base.select(
+    buckets = reps.select(
         "id", F.posexplode(keys_udf(F.col("v"))).alias("band", "key")
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "key")
+        buckets = (
+            buckets.withColumn("_bc", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bc") <= max_bucket)
+            .drop("_bc")
+        )
+    buckets = buckets.persist()
     l, r = buckets.alias("l"), buckets.alias("r")
     cand = (
         l.join(
@@ -439,14 +484,13 @@ def cosine_pairs_lsh(
         .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
         .distinct()
     )
-    vecs = _with_norm(emb, vec_col).select(F.col(id_col).alias("id"), "_v", "_n")
     v1 = vecs.select(
         F.col("id").alias("id1"), F.col("_v").alias("_v1"), F.col("_n").alias("_n1")
     )
     v2 = vecs.select(
         F.col("id").alias("id2"), F.col("_v").alias("_v2"), F.col("_n").alias("_n2")
     )
-    return (
+    rep_pairs = (
         cand.join(v1, "id1")
         .join(v2, "id2")
         .withColumn(
@@ -459,8 +503,42 @@ def cosine_pairs_lsh(
         )
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
-        .orderBy("id1", "id2")
     )
+    # expand back to members: cross-family pairs inherit the rep pair's
+    # cosine (identical vectors), intra-family pairs get the exact
+    # self-cosine n/(sqrt(n)*sqrt(n)) — the same fold the oracle runs
+    f1 = fam.select(F.col("rep").alias("id1"), F.col("mid").alias("m1"))
+    f2 = fam.select(F.col("rep").alias("id2"), F.col("mid").alias("m2"))
+    cross = rep_pairs.join(f1, "id1").join(f2, "id2").select(
+        F.least("m1", "m2").alias("id1"),
+        F.greatest("m1", "m2").alias("id2"),
+        "cos",
+    )
+    a, b = fam.alias("a"), fam.alias("b")
+    intra = (
+        a.join(
+            b,
+            on=[
+                F.col("a.rep") == F.col("b.rep"),
+                F.col("a.mid") < F.col("b.mid"),
+            ],
+        )
+        .select(
+            F.col("a.mid").alias("id1"),
+            F.col("b.mid").alias("id2"),
+            F.col("a.rep").alias("id"),
+        )
+        .join(vecs.select("id", "_n"), "id")
+        .withColumn(
+            "cos",
+            F.round(F.col("_n") / (F.sqrt(F.col("_n")) * F.sqrt(F.col("_n"))), 6),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id1", "id2", "cos")
+    )
+    out = cross.unionByName(intra).orderBy("id1", "id2")
+    # caller unpersists via release() once done acting on the result
+    return attach(out, reps, fam, buckets)
 
 
 def cosine_pairs_lsh_oracle_sql(
@@ -472,17 +550,34 @@ def cosine_pairs_lsh_oracle_sql(
     seed: int = 99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 512,
 ) -> str:
+    """DuckDB twin of cosine_pairs_lsh, mirroring BOTH skew guards:
+    the exact-dup collapse (GROUP BY the vector, min id = rep; banding
+    over reps only; family re-expansion after the refine) and the
+    max_bucket cap (QUALIFY windowed count over (band, key))."""
     signs = _srp_signs(bands * rows_per_band, dim, seed)
     band_sel = " UNION ALL ".join(
         f"SELECT id, {b} AS band, "
-        f"{srp_band_key_sql('duck', signs, b, rows_per_band, 'v')} AS key FROM e"
+        f"{srp_band_key_sql('duck', signs, b, rows_per_band, 'v')} AS key FROM reps"
         for b in range(bands)
     )
+    buckets = f"buckets0 AS ({band_sel})"
+    if max_bucket is not None:
+        buckets += (
+            ", buckets AS (SELECT id, band, key FROM buckets0 "
+            f"QUALIFY count(*) OVER (PARTITION BY band, key) <= {max_bucket})"
+        )
+    else:
+        buckets += ", buckets AS (SELECT * FROM buckets0)"
     return f"""
 WITH e AS (
   SELECT {id_col} AS id, {vec_col} AS v FROM {table}
-), buckets AS ({band_sel}),
+), reps AS (
+  SELECT min(id) AS id, v FROM e GROUP BY v
+), fam AS (
+  SELECT e.id AS mid, r.id AS rep FROM e JOIN reps r ON e.v = r.v
+), {buckets},
 cand AS (
   SELECT DISTINCT l.id AS id1, r.id AS id2
   FROM buckets l JOIN buckets r
@@ -492,21 +587,33 @@ cand AS (
          list_aggregate(
            list_transform(list_transform(v, x -> CAST(x AS DOUBLE)),
                           x -> x * x), 'sum') AS nrm
-  FROM e
+  FROM reps
+), reppairs AS (
+  SELECT c.id1, c.id2,
+         round(
+           list_aggregate(
+             list_transform(range(1, len(a.vv) + 1),
+                            i -> list_extract(a.vv, i) * list_extract(b.vv, i)),
+             'sum') / (sqrt(a.nrm) * sqrt(b.nrm)), 6) AS cos
+  FROM cand c JOIN n a ON c.id1 = a.id JOIN n b ON c.id2 = b.id
+  WHERE round(
+          list_aggregate(
+            list_transform(range(1, len(a.vv) + 1),
+                           i -> list_extract(a.vv, i) * list_extract(b.vv, i)),
+            'sum') / (sqrt(a.nrm) * sqrt(b.nrm)), 6) >= {threshold}
+), cross_p AS (
+  SELECT least(f1.mid, f2.mid) AS id1, greatest(f1.mid, f2.mid) AS id2, p.cos
+  FROM reppairs p JOIN fam f1 ON f1.rep = p.id1 JOIN fam f2 ON f2.rep = p.id2
+), intra AS (
+  SELECT f1.mid AS id1, f2.mid AS id2,
+         round(n.nrm / (sqrt(n.nrm) * sqrt(n.nrm)), 6) AS cos
+  FROM fam f1 JOIN fam f2 ON f1.rep = f2.rep AND f1.mid < f2.mid
+  JOIN n ON n.id = f1.rep
+  WHERE round(n.nrm / (sqrt(n.nrm) * sqrt(n.nrm)), 6) >= {threshold}
 )
-SELECT c.id1, c.id2,
-       round(
-         list_aggregate(
-           list_transform(range(1, len(a.vv) + 1),
-                          i -> list_extract(a.vv, i) * list_extract(b.vv, i)),
-           'sum') / (sqrt(a.nrm) * sqrt(b.nrm)), 6) AS cos
-FROM cand c JOIN n a ON c.id1 = a.id JOIN n b ON c.id2 = b.id
-WHERE round(
-        list_aggregate(
-          list_transform(range(1, len(a.vv) + 1),
-                         i -> list_extract(a.vv, i) * list_extract(b.vv, i)),
-          'sum') / (sqrt(a.nrm) * sqrt(b.nrm)), 6) >= {threshold}
-ORDER BY id1, id2
+SELECT id1, id2, cos FROM (
+  SELECT * FROM cross_p UNION ALL SELECT * FROM intra
+) ORDER BY id1, id2
 """
 
 
@@ -535,11 +642,21 @@ def _kmeans_centroids(
 
 
 def ivf_assign_udf(centroids: np.ndarray):
+    """Row -> nearest-centroid list id. The dot products accumulate
+    SEQUENTIALLY over dimensions (vectorized across rows/centroids) —
+    the identical left fold the DuckDB twin evaluates with the trained
+    centroids embedded as literals, so assignments agree bit-for-bit.
+    Row normalization is skipped: argmax over c_i . v is invariant
+    under the positive scaling 1/|v| (centroids are unit-norm)."""
+
     @F.pandas_udf(LongType())
     def assign(vec: pd.Series) -> pd.Series:
         m = np.stack(vec.to_numpy()).astype(np.float64)
-        m = m / np.maximum(np.sqrt((m * m).sum(axis=1, keepdims=True)), 1e-12)
-        return pd.Series((m @ centroids.T).argmax(axis=1).astype(np.int64))
+        nl, dim = centroids.shape
+        acc = np.zeros((len(m), nl))
+        for j in range(dim):  # sequential over dims == SQL left fold
+            acc += m[:, j : j + 1] * centroids[None, :, j]
+        return pd.Series(acc.argmax(axis=1).astype(np.int64))
 
     return assign
 
@@ -570,6 +687,7 @@ def ivf_topk(
     """
     train = np.stack(
         emb.filter(F.col(id_col) < train_rows)
+        .orderBy(id_col)  # deterministic training order (oracle mirror)
         .select(vec_col)
         .toPandas()[vec_col]
         .to_numpy()
@@ -583,9 +701,14 @@ def ivf_topk(
     qp = queries.toPandas()
     probes = []
     for _, row in qp.iterrows():
+        # same sequential fold as ivf_assign_udf / the SQL twin; probe
+        # order ties broken by centroid index (stable argsort == the
+        # oracle's ORDER BY d DESC, idx)
         v = np.asarray(row[qvec_col], dtype=np.float64)
-        v = v / max(np.sqrt(v @ v), 1e-12)
-        order = np.argsort(-(cents @ v))[:n_probe]
+        d = np.zeros(len(cents))
+        for j in range(cents.shape[1]):
+            d += cents[:, j] * v[j]
+        order = np.argsort(-d, kind="stable")[:n_probe]
         for c in order:
             probes.append((int(row[qid_col]), int(c)))
     probe_df = spark.createDataFrame(probes, schema="qid long, list long")
@@ -613,6 +736,90 @@ def ivf_topk(
         .select("qid", "id", "cos", "rn")
         .orderBy("qid", "rn")
     )
+
+
+def ivf_topk_oracle_sql(
+    parquet_path: str,
+    table: str = "embeddings",
+    k: int = 5,
+    n_queries: int = 4,
+    n_lists: int = 16,
+    n_probe: int = 3,
+    train_rows: int = 2048,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ivf_topk, closing the round-2 no_oracle row:
+    the kmeans training already runs driver-side on a bounded sample,
+    so the generator trains the SAME centroids on the SAME rows (read
+    from ``parquet_path``, the table the driver registers as the view)
+    and embeds them as double literals. Assignment = first-max argmax
+    over 16 left-fold dot products — bit-identical to ivf_assign_udf's
+    sequential accumulation; probes = top n_probe centroids per query
+    by the same fold, ties by centroid index (stable argsort mirror).
+    """
+    import duckdb
+
+    tr = duckdb.sql(
+        f"SELECT {vec_col} AS v FROM '{parquet_path}' "
+        f"WHERE {id_col} < {train_rows} ORDER BY {id_col}"
+    ).fetchdf()
+    train = np.stack(tr["v"].to_numpy()).astype(np.float64)
+    cents = _kmeans_centroids(train, n_lists, seed=seed)
+
+    def dot_expr(ci: np.ndarray) -> str:
+        terms = [
+            f"+ CAST('{c!r}' AS DOUBLE) * list_extract(vv, {j + 1})"
+            for j, c in enumerate(ci)
+        ]
+        return "(CAST(0 AS DOUBLE) " + " ".join(terms) + ")"
+
+    dots = ", ".join(dot_expr(cents[i]) for i in range(n_lists))
+    return f"""
+WITH e AS (
+  SELECT {id_col} AS id,
+         list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS vv
+  FROM {table}
+), n AS (
+  SELECT id, vv,
+         list_aggregate(list_transform(vv, x -> x * x), 'sum') AS nrm,
+         list_value({dots}) AS dots
+  FROM e
+), assigned AS (
+  SELECT id, vv, nrm,
+         list_position(dots, list_aggregate(dots, 'max')) - 1 AS list
+  FROM n
+), q AS (
+  SELECT id AS qid, vv AS qv, nrm AS qn, dots AS qdots
+  FROM n WHERE id < {n_queries}
+), qd AS (
+  SELECT qid, t.idx, list_extract(qdots, t.idx + 1) AS d
+  FROM q CROSS JOIN range({n_lists}) t(idx)
+), probe AS (
+  SELECT qid, idx AS list FROM (
+    SELECT qid, idx,
+           row_number() OVER (PARTITION BY qid ORDER BY d DESC, idx) AS pr
+    FROM qd
+  ) WHERE pr <= {n_probe}
+), cand AS (
+  SELECT q.qid, a.id, a.vv, a.nrm, q.qv, q.qn
+  FROM assigned a JOIN probe p ON a.list = p.list JOIN q ON q.qid = p.qid
+), scored AS (
+  SELECT qid, id,
+         round(
+           list_aggregate(
+             list_transform(range(1, len(vv) + 1),
+                            i -> list_extract(vv, i) * list_extract(qv, i)),
+             'sum') / (sqrt(nrm) * sqrt(qn)), 6) AS cos
+  FROM cand
+)
+SELECT qid, id, cos,
+       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS INT) AS rn
+FROM scored
+QUALIFY rn <= {k}
+ORDER BY qid, rn
+"""
 
 
 def srp_lsh_topk_oracle_sql(

@@ -181,6 +181,81 @@ def test_cosine_pairs_lsh_recovers_planted(spark):
     assert all(p in gs for p in planted)
 
 
+def test_cosine_pairs_lsh_identical_family_bounded(spark):
+    """Skew guard #1: a 1000-member family of byte-identical embeddings
+    collapses to ONE bucket row per band before banding, so the bucket
+    self-join sees 1 candidate row for the whole family (not ~500k).
+    The output still contains every intra-family pair with cos 1.0 —
+    the guard changes the plan, never the answer."""
+    import pandas as pd
+
+    from geo_inference_spark.text.similarity import cosine_pairs_lsh, release
+
+    rng = np.random.RandomState(13)
+    n_rand, n_fam, dim = 500, 1000, 64
+    m = rng.normal(size=(n_rand, dim))
+    v = rng.normal(size=dim).astype(np.float32)
+    vecs = list(m.astype(np.float32)) + [v.copy() for _ in range(n_fam)]
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n_rand + n_fam, dtype=np.int64),
+         "embedding": vecs}
+    )
+    embf = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    out = cosine_pairs_lsh(embf, threshold=0.95, max_bucket=64)
+    got = out.toPandas()
+    release(out)
+    fam_ids = set(range(n_rand, n_rand + n_fam))
+    intra = got[(got.id1 >= n_rand) & (got.id2 >= n_rand)]
+    # all C(1000,2) intra pairs present, each at cos 1.0
+    assert len(intra) == n_fam * (n_fam - 1) // 2
+    assert (intra["cos"] == 1.0).all()
+    assert set(intra["id1"]) | set(intra["id2"]) == fam_ids
+    # and the banding stage really saw one rep: with max_bucket=64 an
+    # UNCOLLAPSED family of 1000 would have been dropped entirely by
+    # the cap, so the presence of the pairs proves the collapse ran
+    # before the cap.
+
+
+def test_cosine_pairs_lsh_max_bucket_oracle_parity(spark, emb):
+    """Skew guard #2: with an aggressively small cap the bucket-drop
+    decision changes the candidate set — Spark and the DuckDB twin
+    must drop the SAME buckets and produce identical pairs."""
+    from geo_inference_spark.text.similarity import (
+        cosine_pairs_lsh,
+        cosine_pairs_lsh_oracle_sql,
+    )
+
+    got = cosine_pairs_lsh(emb, threshold=0.4, max_bucket=20).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    exp = con.sql(cosine_pairs_lsh_oracle_sql(threshold=0.4, max_bucket=20)).fetchdf()
+    full = con.sql(cosine_pairs_lsh_oracle_sql(threshold=0.4, max_bucket=None)).fetchdf()
+    assert got["id1"].tolist() == exp["id1"].tolist()
+    assert got["id2"].tolist() == exp["id2"].tolist()
+    assert got["cos"].tolist() == exp["cos"].tolist()
+    # the cap actually bit (otherwise this test proves nothing)
+    assert len(exp) < len(full)
+
+
+def test_ivf_topk_matches_literal_centroid_oracle(spark, emb):
+    """The round-2 no_oracle closure: the DuckDB twin trains the same
+    kmeans on the same sample and embeds the centroids as literals;
+    assignment/probing are the identical left-fold argmax, so the
+    whole IVF query is value-exact across engines."""
+    from geo_inference_spark.text.similarity import ivf_topk, ivf_topk_oracle_sql
+
+    got = ivf_topk(spark, emb, embedding_queries(emb, n=4), k=5).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    exp = con.sql(
+        ivf_topk_oracle_sql(f"{SF}/embeddings.parquet", n_queries=4, k=5)
+    ).fetchdf()
+    assert got["qid"].tolist() == exp["qid"].tolist()
+    assert got["id"].tolist() == exp["id"].tolist()
+    assert got["cos"].tolist() == exp["cos"].tolist()
+    assert got["rn"].tolist() == exp["rn"].tolist()
+
+
 def test_ivf_topk_recall_clustered(spark):
     """IVF coarse-quantizer ANN: >= 0.9 recall on clustered embeddings
     probing 3/16 lists; every result is a true cosine (exact re-rank)."""
