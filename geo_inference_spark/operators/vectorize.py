@@ -168,12 +168,16 @@ def connected_components(
       (GraphX, Pregel) live on RDDs.
     """
     spark = nodes.sparkSession
-    # ONE job decides the regime AND fetches the small case's data:
-    # limit(T+1) returns the complete edge set iff it fits the budget
-    probe = edges.limit(driver_threshold + 1).collect()
+    # regime gate: a cheap count() first — collecting threshold+1 Row
+    # objects to decide the graph is "small" could itself OOM the
+    # driver the gate exists to protect (ADVICE r2). edges is persisted
+    # so the count's scan is reused by whichever branch runs next.
+    edges = edges.persist()
+    n_edges = edges.count()
 
-    if len(probe) <= driver_threshold:
-        edge_rows = probe
+    if n_edges <= driver_threshold:
+        edge_rows = edges.collect()
+        edges.unpersist()
         border_ids = {r[0] for r in edge_rows} | {r[1] for r in edge_rows}
         bdf = spark.createDataFrame(
             [(int(n),) for n in border_ids] or [(int(-1),)], schema="nid long"
@@ -206,10 +210,7 @@ def connected_components(
             "nid", F.coalesce(F.col("lbl"), F.col("seed")).alias("gid")
         )
 
-    # big regime: count once for partition sizing (the probe already
-    # paid the scan; edges is small-schema and recomputes cheaply)
-    edges = edges.persist()
-    n_edges = edges.count()
+    # big regime: the count above also sizes the partitioning
     # partition count sized to the border graph, NOT inherited from
     # upstream — every Python-RDD task costs a worker round-trip, so
     # a tiny graph on many partitions is pure overhead
@@ -335,18 +336,24 @@ def polygonize_tiles(
     def build_polygon(key, pdf: pd.DataFrame):
         e = pdf[["a", "b", "c", "d"]].to_numpy(dtype=np.int64)
         # cancel internal tile-border edges: an edge and its exact
-        # reverse (emitted by the two adjacent tiles) both vanish
-        fwd = {}
-        for i, (x0, y0, x1, y1) in enumerate(e):
-            fwd.setdefault((x0, y0, x1, y1), []).append(i)
-        drop = np.zeros(len(e), dtype=bool)
-        for (x0, y0, x1, y1), idxs in fwd.items():
-            rev = fwd.get((x1, y1, x0, y0))
-            if rev:
-                n = min(len(idxs), len(rev))
-                for i in idxs[:n]:
-                    drop[i] = True
-        keep = e[~drop]
+        # reverse (emitted by the two adjacent tiles) both vanish.
+        # Vectorized multiset subtraction (the per-edge Python dict
+        # loop here was the r2 polygonize hot spot: a continent-sized
+        # component lands in ONE task, so the constant factor is the
+        # wall clock): unique over fwd ∪ rev keys, per-key counts, and
+        # each surviving key is re-emitted count_fwd - min(fwd, rev)
+        # times. Copies of a key are identical rows, so WHICH copies
+        # survive is immaterial, and chain_rings is order-canonical.
+        uniq, inv = np.unique(
+            np.concatenate([e, e[:, [2, 3, 0, 1]]]), axis=0, return_inverse=True
+        )
+        n = len(e)
+        fcnt = np.bincount(inv[:n], minlength=len(uniq))
+        rcnt = np.bincount(inv[n:], minlength=len(uniq))
+        keep = np.repeat(
+            np.arange(len(uniq)), fcnt - np.minimum(fcnt, rcnt)
+        )
+        keep = uniq[keep]
         rings = rings_to_polygon(chain_rings(keep))
         rings = transform_rings(rings, t_)
         area = polygon_area(rings)
