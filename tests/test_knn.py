@@ -55,6 +55,77 @@ def test_knn_sparse_region_escalates(spark):
     ] == [(i, round(d, 9)) for i, d in exp[9]]
 
 
+def test_knn_fallback_is_bounded_not_crossjoin(spark):
+    """VERDICT r2 #8: a straggler query must resolve through the
+    per-partition local-top-k fallback (mapInPandas + broadcast join
+    re-rank), never a crossJoin — and still be exact. max_rounds=0
+    forces every query straight into the fallback."""
+    pages = pages_df(spark, 2000, partitions=8)
+    pts = pages.select("page_id", "lat", "lon").toPandas()
+    queries = pd.DataFrame(
+        {"qid": [0, 1], "lat": [-60.0, 40.7], "lon": [170.0, -74.0]}
+    )
+    sink: list = []
+    got = knn_join(
+        spark, pages, queries, k=5, res=7, max_rounds=0, plan_sink=sink
+    ).toPandas()
+    exp = brute_force(pts, queries, 5)
+    for qid, grp in got.groupby("qid"):
+        grp = grp.sort_values("rn")
+        assert [
+            (int(i), round(float(d), 9))
+            for i, d in zip(grp["id"], grp["dist"])
+        ] == [(i, round(d, 9)) for i, d in exp[int(qid)]], f"qid {qid}"
+    assert sink, "fallback did not run"
+    for plan in sink:
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_knn_haversine_antimeridian_and_pole_exact(spark):
+    """ADVICE r2: queries hugging the +-180 line or the polar cap must
+    return exact geodesic kNN — the planar guarantee is unsound there,
+    so those queries route to the exact fallback instead of
+    early-terminating on wrong candidates."""
+    from geo_inference_spark.operators.knn import knn_join
+
+    # points straddling the antimeridian: geodesically near a +179.9
+    # query, planar-far (lon=-179.9 is 359.8 planar degrees away)
+    rows = []
+    pid = 0
+    for lon in (179.5, 179.9, -179.9, -179.5, -178.0, 178.0):
+        for lat in (9.0, 10.0, 11.0, 65.0):
+            rows.append((pid, float(lat), float(lon)))
+            pid += 1
+    # polar cluster
+    for lon in (-120.0, 0.0, 60.0, 175.0, -175.0):
+        rows.append((pid, 89.5, lon))
+        pid += 1
+    pts = pd.DataFrame(rows, columns=["page_id", "lat", "lon"])
+    pdf = spark.createDataFrame(pts, schema="page_id long, lat double, lon double")
+    queries = pd.DataFrame(
+        {"qid": [0, 1], "lat": [10.0, 89.8], "lon": [179.9, 180.0 - 1e-9]}
+    )
+    got = knn_join(
+        spark, pdf, queries, k=4, res=6, metric="haversine"
+    ).toPandas()
+    lat, lon = pts["lat"].to_numpy(), pts["lon"].to_numpy()
+    for _, q in queries.iterrows():
+        dphi = np.radians(lat - q.lat)
+        dlam = np.radians(lon - q.lon)
+        a = (
+            np.sin(dphi / 2) ** 2
+            + np.cos(np.radians(q.lat)) * np.cos(np.radians(lat))
+            * np.sin(dlam / 2) ** 2
+        )
+        d = 2 * 6371.0088 * np.arcsin(np.sqrt(a))
+        order = np.lexsort((pts["page_id"].to_numpy(), d))[:4]
+        exp_ids = pts["page_id"].to_numpy()[order].tolist()
+        got_ids = got[got.qid == q.qid].sort_values("rn")["id"].tolist()
+        assert got_ids == exp_ids, (q.qid, got_ids, exp_ids)
+
+
 def test_knn_haversine_matches_bruteforce(spark):
     """Geodesic kNN == brute-force haversine ranking; at high latitude
     the planar and geodesic neighbor sets genuinely differ somewhere,
