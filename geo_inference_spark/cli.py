@@ -125,12 +125,20 @@ def _load_raster(path: str, bbox):
             minx, miny, maxx, maxy = (int(x) for x in str(bbox).split(","))
             arr = arr[:, miny:maxy, minx:maxx]
             meta["height"], meta["width"] = arr.shape[1], arr.shape[2]
+            # shift the affine origin to the crop window so downstream
+            # vec/COCO/YOLO coordinates stay in the UNCROPPED raster's
+            # frame (mirrors rasterio's window_transform; ADVICE r2)
+            a, b, c, d, e, f = meta["transform"]
+            meta["transform"] = (
+                a, b, a * minx + b * miny + c,
+                d, e, d * minx + e * miny + f,
+            )
         return arr.astype(np.float64), meta
     try:
         import rasterio
     except ImportError:
-        # stdlib codec: uncompressed classic GeoTIFF works with zero
-        # dependencies; compressed/BigTIFF raise pointing at rasterio
+        # stdlib codec: classic + BigTIFF, uncompressed/LZW/deflate,
+        # zero dependencies; exotic codecs raise pointing at rasterio
         from .sources.tiff import read_geotiff
 
         if bbox:

@@ -90,18 +90,31 @@ def assemble_mask(tiles_rows, stride: int, height: int, width: int) -> np.ndarra
 
 
 def write_mask_geotiff(tiles, stride: int, meta: dict, path: str) -> None:
-    """Mask-tile DataFrame -> tiled LZW BigTIFF (S8 on real storage).
+    """Mask-tile DataFrame -> LZW GeoTIFF (S8 on real storage), the
+    reference's compressed mask profile (utils/helpers.py:289-300).
 
     The distributed sink remains the mask-tile table
     (sinks.write_mask_tiles); this export materializes one GeoTIFF the
-    way the reference does, using its exact profile."""
-    _require_rasterio()
+    way the reference does. With rasterio installed it writes the
+    exact tiled LZW BigTIFF profile; without it, the from-scratch
+    codec writes a striped LZW classic TIFF (same pixels, same
+    georeferencing; BigTIFF only matters past 4 GiB)."""
     mask = assemble_mask(
         tiles.select("ty", "tx", "mask").collect(),
         stride,
         meta["height"],
         meta["width"],
     )
+    if not _HAS_RASTERIO:
+        from .tiff import write_geotiff
+
+        crs = meta.get("crs")
+        epsg = int(str(crs).split(":")[-1]) if crs else None
+        write_geotiff(
+            mask, path, transform=meta["transform"], epsg=epsg,
+            compression="lzw",
+        )
+        return
     import rasterio as rio
     from rasterio.transform import Affine
 

@@ -1,31 +1,39 @@
-"""Minimal GeoTIFF codec — from scratch, stdlib struct only.
+"""Minimal GeoTIFF codec — from scratch, stdlib struct/zlib only.
 
 The reference's raster IO is rasterio/xarray
-(/root/reference/geo_inference/geo_inference.py:237-302, mask sink
-:388-397). rasterio is absent here, so the subset of the public TIFF
-6.0 + GeoTIFF 1.1 specs the engine actually needs is implemented
-directly:
+(/root/reference/geo_inference/geo_inference.py:237-302) and its mask
+sink writes tiled LZW BigTIFF
+(/root/reference/geo_inference/utils/helpers.py:289-300,
+geo_inference.py:394-397). rasterio is absent here, so the subset of
+the public TIFF 6.0 + BigTIFF + GeoTIFF 1.1 specs the engine actually
+needs is implemented directly:
 
-* ``write_geotiff`` — single- or multi-band arrays as BASELINE TIFF:
-  little-endian, striped, uncompressed, pixel-interleaved, with
-  ModelPixelScaleTag/ModelTiepointTag (the north-up affine) and a
-  GeoKeyDirectory carrying the EPSG code. (The reference writes
-  LZW/BigTIFF via rasterio — compression is delegated to the gated
-  rasterio seam in raster_io.py; this codec guarantees a working
-  GeoTIFF path with zero dependencies.)
-* ``read_geotiff`` — classic TIFF, either byte order, uncompressed,
-  striped or tiled, contiguous planar config; uint8/16/32 and
-  float32/64 samples. Returns ((bands, H, W) float64, meta) with the
-  same meta dict shape as raster_io.read_geotiff_chunks.
+* ``write_geotiff`` — single- or multi-band arrays as classic TIFF:
+  little-endian, striped, pixel-interleaved, uncompressed or
+  LZW/deflate-compressed per strip, with ModelPixelScaleTag/
+  ModelTiepointTag (the north-up affine) and a GeoKeyDirectory
+  carrying the EPSG code — the reference's output profile minus the
+  BigTIFF container (needed only past 4 GiB; the gated rasterio seam
+  still covers that).
+* ``read_geotiff`` — classic AND BigTIFF, either byte order,
+  striped or tiled, contiguous planar config; uncompressed, LZW
+  (with horizontal-differencing predictor 2) and deflate (8/32946)
+  codecs; uint8/16/32 and float32/64 samples. Returns
+  ((bands, H, W) float64, meta) with the same meta dict shape as
+  raster_io.read_geotiff_chunks.
 * ``read_geotiff_chunks_stdlib`` — the scan: array -> the engine's
   (ty, tx, chunk) table.
 
-Every tag id below is from the public TIFF/GeoTIFF registries.
+The LZW codec follows TIFF 6.0 §13: MSB-first variable-width codes
+starting at 9 bits, ClearCode 256 / EOI 257, table reset at 4094, and
+the "early change" width bump one code early. Every tag id below is
+from the public TIFF/GeoTIFF registries.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -36,10 +44,112 @@ T_STRIP_OFFSETS, T_SAMPLES_PER_PIXEL, T_ROWS_PER_STRIP = 273, 277, 278
 T_STRIP_COUNTS, T_PLANAR = 279, 284
 T_TILE_WIDTH, T_TILE_HEIGHT, T_TILE_OFFSETS, T_TILE_COUNTS = 322, 323, 324, 325
 T_SAMPLE_FORMAT = 339
+T_PREDICTOR = 317
 # GeoTIFF 1.1
 T_MODEL_PIXEL_SCALE, T_MODEL_TIEPOINT, T_GEO_KEYS = 33550, 33922, 34735
 
 _FMT_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8, 17: 8}
+
+# ------------------------------------------------------------- TIFF LZW
+
+_CLEAR, _EOI = 256, 257
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first variable-width codes, early change."""
+    out = bytearray()
+    buf = 0  # bit accumulator (MSB-first)
+    nbuf = 0
+    pos = 0
+    nbits = 9
+    table: list[bytes] = []
+    w = b""
+
+    def reset():
+        nonlocal table, nbits
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        nbits = 9
+
+    reset()
+    n = len(data)
+    while True:
+        while nbuf < nbits:
+            if pos >= n:
+                return bytes(out)  # missing EOI: tolerate (common)
+            buf = (buf << 8) | data[pos]
+            pos += 1
+            nbuf += 8
+        code = (buf >> (nbuf - nbits)) & ((1 << nbits) - 1)
+        nbuf -= nbits
+        if code == _EOI:
+            return bytes(out)
+        if code == _CLEAR:
+            reset()
+            w = b""
+            continue
+        if w == b"":  # first code after a clear
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(w + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = w + w[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        # early change: the decoder's table is one entry behind the
+        # encoder's at read time, so it widens when its next free code
+        # hits 2^nbits - 2 (510/1022/2046) — one earlier than naive LZW
+        if len(table) == (1 << nbits) - 2 and nbits < 12:
+            nbits += 1
+        w = entry
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (the exact inverse of lzw_decode)."""
+    out = bytearray()
+    buf = 0
+    nbuf = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal buf, nbuf
+        buf = (buf << width) | code
+        nbuf += width
+        while nbuf >= 8:
+            out.append((buf >> (nbuf - 8)) & 0xFF)
+            nbuf -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    nbits = 9
+    emit(_CLEAR, nbits)
+    w = b""
+    for b in data:
+        c = bytes([b])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], nbits)
+        table[wc] = next_code
+        next_code += 1
+        # early change: widen right after ADDING entry 510/1022/2046
+        # (the spec's one-early switch); reset near the 12-bit ceiling
+        if next_code == (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
+        elif next_code == 4094:  # table nearly full: reset
+            emit(_CLEAR, nbits)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            nbits = 9
+        w = c
+    if w:
+        emit(table[w], nbits)
+    emit(_EOI, nbits)
+    if nbuf:
+        out.append((buf << (8 - nbuf)) & 0xFF)
+    return bytes(out)
 
 
 def _np_dtype(bits: int, sample_format: int, bo: str) -> np.dtype:
@@ -50,15 +160,20 @@ def _np_dtype(bits: int, sample_format: int, bo: str) -> np.dtype:
     return np.dtype(f"{bo}u{bits // 8}")  # unsigned (default)
 
 
+_COMP_IDS = {None: 1, "none": 1, "lzw": 5, "deflate": 8}
+
+
 def write_geotiff(
     arr: np.ndarray,
     path: str,
     transform=(1.0, 0.0, 0.0, 0.0, -1.0, 0.0),
     epsg: int | None = 4326,
     rows_per_strip: int = 64,
+    compression: str | None = None,
 ) -> None:
-    """(bands, H, W) or (H, W) -> baseline striped GeoTIFF (LE,
-    uncompressed, pixel-interleaved). transform is the affine
+    """(bands, H, W) or (H, W) -> striped GeoTIFF (LE, pixel-
+    interleaved; compression None/'lzw'/'deflate' — the reference's
+    mask profile is LZW, helpers.py:289-300). transform is the affine
     (a, b, c, d, e, f) with x = a*col + b*row + c — only north-up
     (b == d == 0) is expressible via PixelScale+Tiepoint."""
     a = np.asarray(arr)
@@ -68,6 +183,9 @@ def write_geotiff(
     ta, tb, tc, td, te, tf = (float(x) for x in transform)
     if tb != 0.0 or td != 0.0:
         raise ValueError("rotated transforms need the rasterio seam")
+    if compression not in _COMP_IDS:
+        raise ValueError(f"compression must be one of {sorted(_COMP_IDS, key=str)}")
+    comp_id = _COMP_IDS[compression]
     if a.dtype.kind == "f":
         fmt, bits = 3, a.dtype.itemsize * 8
     elif a.dtype.kind == "i":
@@ -75,10 +193,14 @@ def write_geotiff(
     else:
         fmt, bits = 1, a.dtype.itemsize * 8
     pix = np.ascontiguousarray(np.moveaxis(a, 0, -1))  # (H, W, bands)
-    row_bytes = w * bands * (bits // 8)
     strips = []
     for y0 in range(0, h, rows_per_strip):
-        strips.append(pix[y0 : y0 + rows_per_strip].tobytes())
+        raw = pix[y0 : y0 + rows_per_strip].tobytes()
+        if comp_id == 5:
+            raw = lzw_encode(raw)
+        elif comp_id == 8:
+            raw = zlib.compress(raw, 6)
+        strips.append(raw)
 
     entries = []  # (tag, type, count, value_or_bytes)
 
@@ -94,7 +216,7 @@ def write_geotiff(
         (T_BITS, 3, bands,
          struct.pack(f"<{bands}H", *([bits] * bands)).ljust(4, b"\0"))
     )
-    short(T_COMPRESSION, 1)
+    short(T_COMPRESSION, comp_id)
     short(T_PHOTOMETRIC, 1)
     entries.append((T_STRIP_OFFSETS, 4, len(strips), None))  # patched below
     short(T_SAMPLES_PER_PIXEL, bands)
@@ -172,16 +294,27 @@ def write_geotiff(
         f.write(b"".join(out))
 
 
-def _read_ifd(buf: bytes, bo: str):
-    (off,) = struct.unpack_from(f"{bo}I", buf, 4)
-    (n,) = struct.unpack_from(f"{bo}H", buf, off)
+def _read_ifd(buf: bytes, bo: str, big: bool = False):
+    """Parse the first IFD — classic (4-byte offsets, 12-byte entries)
+    or BigTIFF (8-byte offsets, 20-byte entries, LONG8 types)."""
+    if big:
+        (off,) = struct.unpack_from(f"{bo}Q", buf, 8)
+        (n,) = struct.unpack_from(f"{bo}Q", buf, off)
+        ent0, esz, inline = off + 8, 20, 8
+        cnt_fmt, ptr_fmt = "Q", "Q"
+    else:
+        (off,) = struct.unpack_from(f"{bo}I", buf, 4)
+        (n,) = struct.unpack_from(f"{bo}H", buf, off)
+        ent0, esz, inline = off + 2, 12, 4
+        cnt_fmt, ptr_fmt = "I", "I"
     tags = {}
     for i in range(n):
-        tag, typ, cnt = struct.unpack_from(f"{bo}HHI", buf, off + 2 + i * 12)
-        voff = off + 2 + i * 12 + 8
+        tag, typ = struct.unpack_from(f"{bo}HH", buf, ent0 + i * esz)
+        (cnt,) = struct.unpack_from(f"{bo}{cnt_fmt}", buf, ent0 + i * esz + 4)
+        voff = ent0 + i * esz + esz - inline
         size = _FMT_SIZES.get(typ, 1) * cnt
-        if size > 4:
-            (ptr,) = struct.unpack_from(f"{bo}I", buf, voff)
+        if size > inline:
+            (ptr,) = struct.unpack_from(f"{bo}{ptr_fmt}", buf, voff)
             raw = buf[ptr : ptr + size]
         else:
             raw = buf[voff : voff + size]
@@ -189,6 +322,8 @@ def _read_ifd(buf: bytes, bo: str):
             vals = struct.unpack(f"{bo}{cnt}H", raw)
         elif typ == 4:
             vals = struct.unpack(f"{bo}{cnt}I", raw)
+        elif typ in (16, 17):  # BigTIFF LONG8 / SLONG8
+            vals = struct.unpack(f"{bo}{cnt}{'q' if typ == 17 else 'Q'}", raw)
         elif typ == 12:
             vals = struct.unpack(f"{bo}{cnt}d", raw)
         elif typ == 11:
@@ -199,8 +334,35 @@ def _read_ifd(buf: bytes, bo: str):
     return tags
 
 
+def _decode_segment(buf, off, cnt, comp, dt, n_vals, shape, predictor):
+    """One strip/tile -> (rows, width, bands) array, decompressed and
+    un-predicted. Truncated final segments are zero-padded."""
+    if comp == 1:
+        seg = np.frombuffer(buf, dt, count=n_vals, offset=off)
+    else:
+        raw = bytes(buf[off : off + cnt])
+        if comp == 5:
+            raw = lzw_decode(raw)
+        else:  # 8 / 32946: (Adobe) deflate
+            raw = zlib.decompress(raw)
+        seg = np.frombuffer(raw, dt, count=min(n_vals, len(raw) // dt.itemsize))
+        if len(seg) < n_vals:
+            seg = np.concatenate([seg, np.zeros(n_vals - len(seg), dt)])
+    seg = seg.reshape(shape)
+    if predictor == 2:
+        if dt.kind == "f":
+            raise ValueError("float predictor (3) expected for float data")
+        native = dt.newbyteorder("=")
+        seg = np.cumsum(seg.astype(native), axis=1, dtype=native)
+    return seg
+
+
 def read_geotiff(path: str):
-    """classic TIFF -> ((bands, H, W) float64, meta dict)."""
+    """classic TIFF or BigTIFF -> ((bands, H, W) float64, meta dict).
+
+    Codecs: uncompressed, LZW (5, with horizontal-differencing
+    predictor 2) and deflate (8/32946). Anything else raises into the
+    gated rasterio seam."""
     buf = open(path, "rb").read()
     if buf[:2] == b"II":
         bo = "<"
@@ -209,11 +371,24 @@ def read_geotiff(path: str):
     else:
         raise ValueError("not a TIFF file")
     (magic,) = struct.unpack_from(f"{bo}H", buf, 2)
-    if magic != 42:
-        raise ValueError("BigTIFF needs the rasterio seam")
-    t = _read_ifd(buf, bo)
-    if t.get(T_COMPRESSION, (1,))[0] != 1:
-        raise ValueError("compressed TIFF needs the rasterio seam")
+    if magic == 42:
+        t = _read_ifd(buf, bo)
+    elif magic == 43:
+        (offsz, pad) = struct.unpack_from(f"{bo}HH", buf, 4)
+        if offsz != 8 or pad != 0:
+            raise ValueError("malformed BigTIFF header")
+        t = _read_ifd(buf, bo, big=True)
+    else:
+        raise ValueError(f"unknown TIFF magic {magic}")
+    comp = t.get(T_COMPRESSION, (1,))[0]
+    if comp not in (1, 5, 8, 32946):
+        raise ValueError(
+            f"TIFF compression {comp} needs the rasterio seam "
+            "(this codec reads none/LZW/deflate)"
+        )
+    predictor = t.get(T_PREDICTOR, (1,))[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF predictor {predictor} not supported")
     if t.get(T_PLANAR, (1,))[0] != 1:
         raise ValueError("only contiguous planar config supported")
     w, h = t[T_WIDTH][0], t[T_HEIGHT][0]
@@ -221,26 +396,28 @@ def read_geotiff(path: str):
     bits = t[T_BITS][0]
     fmt = t.get(T_SAMPLE_FORMAT, (1,))[0]
     dt = _np_dtype(bits, fmt, bo)
-    pix = np.zeros((h, w, bands), dtype=dt)
+    pix = np.zeros((h, w, bands), dtype=dt.newbyteorder("="))
     if T_TILE_OFFSETS in t:
         tw, th = t[T_TILE_WIDTH][0], t[T_TILE_HEIGHT][0]
         nx = -(-w // tw)
-        i = 0
-        for off, cnt in zip(t[T_TILE_OFFSETS], t[T_TILE_COUNTS]):
-            tile = np.frombuffer(buf, dt, count=tw * th * bands, offset=off)
-            tile = tile.reshape(th, tw, bands)
+        for i, (off, cnt) in enumerate(zip(t[T_TILE_OFFSETS], t[T_TILE_COUNTS])):
+            tile = _decode_segment(
+                buf, off, cnt, comp, dt, tw * th * bands,
+                (th, tw, bands), predictor,
+            )
             ty, tx = divmod(i, nx)
             y0, x0 = ty * th, tx * tw
             ys, xs = min(th, h - y0), min(tw, w - x0)
             pix[y0 : y0 + ys, x0 : x0 + xs] = tile[:ys, :xs]
-            i += 1
     else:
         rps = t.get(T_ROWS_PER_STRIP, (h,))[0]
         y0 = 0
         for off, cnt in zip(t[T_STRIP_OFFSETS], t[T_STRIP_COUNTS]):
             rows = min(rps, h - y0)
-            strip = np.frombuffer(buf, dt, count=rows * w * bands, offset=off)
-            pix[y0 : y0 + rows] = strip.reshape(rows, w, bands)
+            pix[y0 : y0 + rows] = _decode_segment(
+                buf, off, cnt, comp, dt, rows * w * bands,
+                (rows, w, bands), predictor,
+            )
             y0 += rows
     arr = np.moveaxis(pix, -1, 0).astype(np.float64)
     # geotransform

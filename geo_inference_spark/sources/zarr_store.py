@@ -148,12 +148,13 @@ def write_mask_zarr(tiles, path: str, stride: int, height: int, width: int,
     import pandas as pd  # noqa: F401 (mapInPandas contract)
 
     s = int(stride)
-    ny = -(-height // s)
-    nx = -(-width // s)
     os.makedirs(path, exist_ok=True)
+    # shape = the TRUE raster extent (ADVICE r2): zarr v2 stores edge
+    # chunks padded to full chunk size, but the array shape defines the
+    # logical bounds, so standard readers see exactly (height, width)
     meta = {
         "zarr_format": 2,
-        "shape": [1, ny * s, nx * s],
+        "shape": [1, int(height), int(width)],
         "chunks": [1, s, s],
         "dtype": "|u1",
         "compressor": None,

@@ -132,8 +132,8 @@ def test_raster_io_gated_without_rasterio():
 
     with _pytest.raises(ImportError, match="rasterio"):
         rio_mod.read_geotiff_chunks(None, "/x.tif", 8)
-    with _pytest.raises(ImportError, match="rasterio"):
-        rio_mod.write_mask_geotiff(None, 8, {}, "/x.tif")
+    # write_mask_geotiff no longer gates on rasterio: the stdlib codec
+    # writes the LZW profile itself (test_mask_geotiff_sink_stdlib_lzw)
 
 
 def test_raster_io_profile_and_assembly():
@@ -269,22 +269,259 @@ def test_geotiff_roundtrip_and_chunks(spark, tmp_path):
     np.testing.assert_array_equal(r[(0, 0)], a[:, :8, :8].astype(np.float64))
 
 
-def test_geotiff_reader_rejects_compressed(tmp_path):
+def test_geotiff_reader_rejects_exotic_codec(tmp_path):
     import struct
 
     import pytest as _pytest
 
     from geo_inference_spark.sources.tiff import read_geotiff
 
-    # forge a minimal IFD claiming LZW compression
+    # forge a minimal IFD claiming JPEG compression (7) — outside the
+    # none/LZW/deflate set the stdlib codec handles
     ifd = struct.pack("<H", 1) + struct.pack(
         "<HHI", 259, 3, 1
-    ) + struct.pack("<HH", 5, 0) + struct.pack("<I", 0)
+    ) + struct.pack("<HH", 7, 0) + struct.pack("<I", 0)
     buf = b"II*\0" + struct.pack("<I", 8) + ifd
     fp = str(tmp_path / "c.tif")
     open(fp, "wb").write(buf)
     with _pytest.raises(ValueError, match="rasterio"):
         read_geotiff(fp)
+
+
+# ---------------------------------------------------- TIFF codec matrix
+
+def _forge_tiff(arr_hwb, bo, path, comp=1, tiled=False, predictor=1,
+                big=False, rps=8, ts=8):
+    """Build a TIFF the stdlib WRITER can't produce (big-endian, tiled,
+    predictor, BigTIFF) so the READER's full matrix is pinned. arr is
+    (h, w, bands) in native order."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from geo_inference_spark.sources.tiff import lzw_encode
+
+    h, w, bands = arr_hwb.shape
+    dt = arr_hwb.dtype.newbyteorder(bo)
+    segs = []
+    if tiled:
+        for ty in range(-(-h // ts)):
+            for tx in range(-(-w // ts)):
+                block = np.zeros((ts, ts, bands), arr_hwb.dtype)
+                sub = arr_hwb[ty * ts:(ty + 1) * ts, tx * ts:(tx + 1) * ts]
+                block[: sub.shape[0], : sub.shape[1]] = sub
+                segs.append(block)
+    else:
+        segs = [arr_hwb[y0:y0 + rps] for y0 in range(0, h, rps)]
+    data = []
+    for s in segs:
+        if predictor == 2:
+            s = s.copy()
+            s[:, 1:] = s[:, 1:] - s[:, :-1]  # wraps in the uint dtype
+        raw = np.ascontiguousarray(s.astype(dt)).tobytes()
+        if comp == 5:
+            raw = lzw_encode(raw)
+        elif comp == 8:
+            raw = _zlib.compress(raw)
+        data.append(raw)
+
+    fmt = {"u": 1, "i": 2, "f": 3}[arr_hwb.dtype.kind]
+    bits = arr_hwb.dtype.itemsize * 8
+    off_t = 16 if big else 4  # LONG8 vs LONG for offsets/counts
+    ent = [  # (tag, typ, [values])
+        (256, 3, [w]), (257, 3, [h]), (258, 3, [bits] * bands),
+        (259, 3, [comp]), (262, 3, [1]), (277, 3, [bands]),
+        (284, 3, [1]), (339, 3, [fmt] * bands),
+    ]
+    if predictor != 1:
+        ent.append((317, 3, [predictor]))
+    if tiled:
+        ent += [(322, 3, [ts]), (323, 3, [ts]),
+                (324, off_t, None), (325, off_t, None)]
+    else:
+        ent += [(278, 3, [rps]), (273, off_t, None), (279, off_t, None)]
+    ent.sort(key=lambda e: e[0])
+
+    tsz = {3: 2, 4: 4, 16: 8}
+    inline = 8 if big else 4
+    esz = 20 if big else 12
+    hdr = 16 if big else 8
+    ifd_sz = (8 if big else 2) + len(ent) * esz + (8 if big else 4)
+    blob0 = hdr + ifd_sz
+    # blob layout: out-of-line payloads in entry order
+    cur = blob0
+    blob_off = {}
+    for tag, typ, vals in ent:
+        n = len(data) if vals is None else len(vals)
+        sz = tsz[typ] * n
+        if sz > inline:
+            blob_off[tag] = cur
+            cur += sz
+    seg0 = cur
+    seg_off = []
+    for d in data:
+        seg_off.append(cur)
+        cur += len(d)
+
+    def pk(code, vals):
+        return struct.pack(f"{bo}{len(vals)}{code}", *vals)
+
+    code_of = {3: "H", 4: "I", 16: "Q"}
+    out = bytearray()
+    if big:
+        out += ("II" if bo == "<" else "MM").encode()
+        out += struct.pack(f"{bo}HHHQ", 43, 8, 0, hdr)
+        out += struct.pack(f"{bo}Q", len(ent))
+    else:
+        out += ("II" if bo == "<" else "MM").encode()
+        out += struct.pack(f"{bo}HI", 42, hdr)
+        out += struct.pack(f"{bo}H", len(ent))
+    blobs = bytearray()
+    for tag, typ, vals in ent:
+        if vals is None:
+            vals = seg_off if tag in (273, 324) else [len(d) for d in data]
+        payload = pk(code_of[typ], vals)
+        out += struct.pack(f"{bo}HH", tag, typ)
+        out += struct.pack(f"{bo}{'Q' if big else 'I'}", len(vals))
+        if len(payload) > inline:
+            out += struct.pack(f"{bo}{'Q' if big else 'I'}", blob_off[tag])
+            blobs += payload
+        else:
+            out += payload.ljust(inline, b"\0")
+    out += struct.pack(f"{bo}{'Q' if big else 'I'}", 0)  # next IFD
+    out += blobs
+    assert len(out) == seg0, (len(out), seg0)
+    for d in data:
+        out += d
+    open(path, "wb").write(bytes(out))
+
+
+def test_geotiff_reader_full_matrix(tmp_path):
+    """byte order x striped/tiled x dtype x codec against the forge —
+    pins the reader before the codec grows (VERDICT r3 task)."""
+    import itertools
+
+    import numpy as np
+
+    from geo_inference_spark.sources.tiff import read_geotiff
+
+    rng = np.random.RandomState(9)
+    i = 0
+    for bo, tiled, comp, dtype in itertools.product(
+        ("<", ">"), (False, True), (1, 5, 8),
+        (np.uint8, np.uint16, np.float32),
+    ):
+        if dtype == np.float32:
+            a = rng.uniform(0, 255, size=(20, 13, 2)).astype(dtype)
+        else:
+            a = rng.randint(0, 200, size=(20, 13, 2)).astype(dtype)
+        fp = str(tmp_path / f"m{i}.tif")
+        _forge_tiff(a, bo, fp, comp=comp, tiled=tiled)
+        got, meta = read_geotiff(fp)
+        np.testing.assert_array_equal(
+            got, np.moveaxis(a, -1, 0).astype(np.float64),
+            err_msg=f"bo={bo} tiled={tiled} comp={comp} dtype={dtype}",
+        )
+        assert (meta["count"], meta["height"], meta["width"]) == (2, 20, 13)
+        i += 1
+
+
+def test_geotiff_reader_lzw_predictor2(tmp_path):
+    """LZW + horizontal-differencing predictor (the common GDAL
+    profile) for uint8 and uint16, striped and tiled."""
+    import numpy as np
+
+    from geo_inference_spark.sources.tiff import read_geotiff
+
+    rng = np.random.RandomState(10)
+    for dtype in (np.uint8, np.uint16):
+        for tiled in (False, True):
+            a = rng.randint(0, 250, size=(17, 11, 1)).astype(dtype)
+            fp = str(tmp_path / f"p_{dtype.__name__}_{tiled}.tif")
+            _forge_tiff(a, "<", fp, comp=5, tiled=tiled, predictor=2)
+            got, _ = read_geotiff(fp)
+            np.testing.assert_array_equal(
+                got[0], a[:, :, 0].astype(np.float64)
+            )
+
+
+def test_geotiff_reader_bigtiff(tmp_path):
+    """BigTIFF (magic 43, 8-byte offsets, LONG8 strip tags), both byte
+    orders, LZW-compressed — the reference's container format."""
+    import numpy as np
+
+    from geo_inference_spark.sources.tiff import read_geotiff
+
+    rng = np.random.RandomState(11)
+    for bo in ("<", ">"):
+        a = rng.randint(0, 255, size=(23, 9, 3)).astype(np.uint8)
+        fp = str(tmp_path / f"big_{'le' if bo == '<' else 'be'}.tif")
+        _forge_tiff(a, bo, fp, comp=5, big=True)
+        got, meta = read_geotiff(fp)
+        np.testing.assert_array_equal(
+            got, np.moveaxis(a, -1, 0).astype(np.float64)
+        )
+        assert (meta["count"], meta["height"], meta["width"]) == (3, 23, 9)
+
+
+def test_geotiff_writer_compression_roundtrip(tmp_path):
+    """write_geotiff(compression=lzw/deflate) -> read_geotiff equals
+    the array, for every supported dtype; LZW actually shrinks a
+    low-entropy mask."""
+    import os
+
+    import numpy as np
+
+    from geo_inference_spark.sources.tiff import read_geotiff, write_geotiff
+
+    rng = np.random.RandomState(12)
+    t = (0.25, 0.0, 10.0, 0.0, -0.25, 90.0)
+    for comp in ("lzw", "deflate"):
+        for dtype in (np.uint8, np.uint16, np.uint32, np.float32, np.float64):
+            if np.issubdtype(dtype, np.floating):
+                a = rng.uniform(0, 255, size=(2, 33, 21)).astype(dtype)
+            else:
+                a = rng.randint(0, 5, size=(2, 33, 21)).astype(dtype)
+            fp = str(tmp_path / f"w_{comp}_{np.dtype(dtype).name}.tif")
+            write_geotiff(a, fp, transform=t, epsg=32618,
+                          rows_per_strip=16, compression=comp)
+            got, meta = read_geotiff(fp)
+            np.testing.assert_array_equal(got, a.astype(np.float64))
+            assert meta["transform"] == t and meta["crs"] == "EPSG:32618"
+    # compression really compresses: constant mask, lzw vs none
+    m = np.zeros((1, 256, 256), dtype=np.uint8)
+    fu = str(tmp_path / "u.tif")
+    fl = str(tmp_path / "l.tif")
+    write_geotiff(m, fu, compression=None)
+    write_geotiff(m, fl, compression="lzw")
+    assert os.path.getsize(fl) < os.path.getsize(fu) / 10
+
+
+def test_mask_geotiff_sink_stdlib_lzw(spark, tmp_path):
+    """write_mask_geotiff without rasterio -> striped LZW classic TIFF
+    via the stdlib codec, same pixels and georeferencing."""
+    import numpy as np
+
+    from geo_inference_spark.sources.raster_io import write_mask_geotiff
+    from geo_inference_spark.sources.tiff import read_geotiff
+
+    rng = np.random.RandomState(13)
+    t00 = rng.randint(0, 3, (4, 4)).astype(np.uint8)
+    t01 = rng.randint(0, 3, (4, 4)).astype(np.uint8)
+    tiles = spark.createDataFrame(
+        [(0, 0, t00.tobytes()), (0, 1, t01.tobytes())],
+        schema="ty int, tx int, mask binary",
+    )
+    meta = {"height": 4, "width": 7, "crs": "EPSG:32618",
+            "transform": (0.5, 0.0, 10.0, 0.0, -0.5, 20.0)}
+    fp = str(tmp_path / "mask.tif")
+    write_mask_geotiff(tiles, 4, meta, fp)
+    got, m2 = read_geotiff(fp)
+    exp = np.concatenate([t00, t01], axis=1)[:4, :7]
+    np.testing.assert_array_equal(got[0], exp.astype(np.float64))
+    assert m2["transform"] == meta["transform"]
+    assert m2["crs"] == "EPSG:32618"
 
 
 def test_mask_zarr_sink_distributed(spark, tmp_path):
@@ -313,6 +550,45 @@ def test_mask_zarr_sink_distributed(spark, tmp_path):
     np.testing.assert_array_equal(got[(0, 0)][0], t00.astype(np.float64))
     np.testing.assert_array_equal(got[(1, 1)][0], t11.astype(np.float64))
     assert (got[(0, 1)] == 255.0).all()  # unwritten tile -> fill
+
+
+def test_mask_zarr_sink_true_extent(spark, tmp_path):
+    """ADVICE r2: .zarray shape must be the TRUE raster extent, not the
+    padded chunk grid — a non-multiple raster reads back at exactly
+    (height, width), edge chunks padded per the v2 spec."""
+    import json as _json
+
+    import numpy as np
+
+    from geo_inference_spark.sources.zarr_store import write_mask_zarr
+
+    rng = np.random.RandomState(7)
+    tiles_np = {(ty, tx): rng.randint(0, 3, (4, 4)).astype(np.uint8)
+                for ty in range(2) for tx in range(2)}
+    tiles = spark.createDataFrame(
+        [(ty, tx, m.tobytes()) for (ty, tx), m in tiles_np.items()],
+        schema="ty int, tx int, mask binary",
+    )
+    zp = str(tmp_path / "mask.zarr")
+    # true extent 6 x 7 — NOT a multiple of the 4-pixel chunks
+    write_mask_zarr(tiles, zp, stride=4, height=6, width=7)
+    meta = _json.load(open(f"{zp}/.zarray"))
+    assert meta["shape"] == [1, 6, 7]
+    assert meta["chunks"] == [1, 4, 4]
+    # a standard zarr v2 read (chunk stitch, crop to shape) sees the
+    # unpadded mask
+    full = np.zeros((8, 8), np.uint8)
+    for (ty, tx), m in tiles_np.items():
+        raw = open(f"{zp}/0.{ty}.{tx}", "rb").read()
+        full[ty * 4:(ty + 1) * 4, tx * 4:(tx + 1) * 4] = (
+            np.frombuffer(raw, np.uint8).reshape(4, 4)
+        )
+    exp = np.zeros((6, 7), np.uint8)
+    for (ty, tx), m in tiles_np.items():
+        exp[ty * 4:min((ty + 1) * 4, 6), tx * 4:min((tx + 1) * 4, 7)] = (
+            m[: max(0, 6 - ty * 4), : max(0, 7 - tx * 4)]
+        )
+    np.testing.assert_array_equal(full[:6, :7], exp)
 
 
 def test_stac_item_band_stack(tmp_path):
