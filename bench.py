@@ -30,10 +30,28 @@ from geo_inference_spark.sources.pages import pages_df, synth_admin_polygons  # 
 N_PAGES = int(os.environ.get("BENCH_PAGES", "300000"))
 
 
+def loadavg_1m() -> float:
+    """Host 1-minute load — recorded so regressions are attributable:
+    BASELINE.md documents 2-3x per-query swings from concurrent load
+    on this shared VM; never time two jobs at once."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:  # pragma: no cover - non-Linux
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    load_start = loadavg_1m()
+    if load_start > 4.0:
+        print(
+            f"# WARNING: host 1-min load {load_start:.1f} before bench — "
+            "timings will be inflated by external contention",
+            file=sys.stderr,
+        )
     spark = get_spark("bench", cores=cores)
     timings: dict[str, float] = {}
 
@@ -86,6 +104,9 @@ def main() -> None:
                     "pages_pip_join_pages_per_sec": round(N_PAGES / pip_sec),
                     "cores": cores,
                     "n_pages": N_PAGES,
+                    "load_1m_start": load_start,
+                    "load_1m_end": loadavg_1m(),
+                    "load_contended": load_start > 4.0,
                 },
             }
         )

@@ -2,12 +2,16 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with
 a metadata struct; the Spark-side plumbing (schemas, Arrow batching,
-mapInPandas signatures, partition behavior) is real and tested. The
-codec step itself is STUBBED: the container has no image/audio
-libraries, so decode is a deterministic fake derived from the
-md5 of the bytes (clearly marked below; md5 so the DuckDB oracle can
-reproduce every field), gated behind an import-try so a real
-Pillow/torchaudio path drops in unchanged.
+mapInPandas signatures, partition behavior) is real and tested.
+
+The image codec is REAL for PNG: payloads carrying the PNG signature
+decode through the from-scratch stdlib codec (sources/png.py — zlib
+inflate + all five row unfilters), yielding true width/height/channels
+and the mean over decoded PIXELS. Payloads in any other format fall
+back to a deterministic md5-derived stub (clearly marked below; md5 so
+the DuckDB oracle can reproduce every field) — the seam where a
+Pillow/ffmpeg install drops in for JPEG/video without touching the
+Spark plumbing.
 """
 
 from __future__ import annotations
@@ -18,12 +22,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-try:  # pragma: no cover - not present in this container
-    from PIL import Image  # noqa: F401
+from ..sources.png import decode_png
 
-    _HAS_PIL = True
-except ImportError:
-    _HAS_PIL = False
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 MEDIA_SCHEMA = (
     "id long, media_type string, n_bytes long, width int, height int, "
@@ -32,7 +33,7 @@ MEDIA_SCHEMA = (
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
-    """DETERMINISTIC FAKE decoder (stub for the real codec): derives a
+    """DETERMINISTIC FAKE decoder (stub for non-PNG codecs): derives a
     plausible (width, height, channels, mean_byte) purely from the
     bytes, so the pipeline shape is exercised end-to-end and results
     are reproducible. Replace with PIL/ffmpeg in production."""
@@ -44,6 +45,16 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
     mean = float(arr.mean()) if arr.size else 0.0
     # SQL ROUND half-up so the DuckDB oracle reproduces the value
     return width, height, channels, float(np.floor(mean * 1e6 + 0.5) / 1e6)
+
+
+def _decode_one(payload: bytes) -> tuple[int, int, int, float]:
+    """Real PNG decode when the signature matches; md5 stub otherwise."""
+    if payload[:8] == PNG_SIG:
+        pix = decode_png(payload)
+        h, w, c = pix.shape
+        mean = float(pix.astype(np.float64).mean())
+        return w, h, c, float(np.floor(mean * 1e6 + 0.5) / 1e6)
+    return _fake_decode(payload)
 
 
 def decode_media(
@@ -59,11 +70,7 @@ def decode_media(
             rows = []
             for pid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
-                if _HAS_PIL and media_type == "image":
-                    raise NotImplementedError(
-                        "real image decode path not wired in this sandbox"
-                    )
-                w, h, c, m = _fake_decode(b)
+                w, h, c, m = _decode_one(b)
                 rows.append(
                     (int(pid), media_type, len(b), w, h, c, m,
                      hashlib.md5(b).hexdigest())

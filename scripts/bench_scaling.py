@@ -86,8 +86,24 @@ def run_level(cores: int) -> dict:
     )
 
 
+def _loadavg_1m() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:  # pragma: no cover
+        return -1.0
+
+
 def main() -> None:
+    load0 = _loadavg_1m()
+    if load0 > 4.0:
+        print(
+            f"# WARNING: host 1-min load {load0:.1f} before scaling run — "
+            "efficiency will be depressed by external contention",
+            file=sys.stderr,
+        )
     lo = run_level(N_LO)
+    load_mid = _loadavg_1m()
     hi = run_level(N_HI)
     eff = (hi["pages_per_sec"] / lo["pages_per_sec"]) / (N_HI / N_LO)
     report = {
@@ -97,6 +113,7 @@ def main() -> None:
         "core_ratio": N_HI / N_LO,
         "throughput_ratio": hi["pages_per_sec"] / lo["pages_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "load_1m": {"start": load0, "mid": load_mid, "end": _loadavg_1m()},
     }
     print(json.dumps(report))
     os.makedirs("/root/repo/BENCH", exist_ok=True)
@@ -110,6 +127,10 @@ def main() -> None:
             "| cores | median sec | pages/sec |\n|---|---|---|\n"
             f"| {N_LO} | {lo['sec_median']:.2f} | {lo['pages_per_sec']:,.0f} |\n"
             f"| {N_HI} | {hi['sec_median']:.2f} | {hi['pages_per_sec']:,.0f} |\n\n"
+            f"Host 1-min load: {load0:.2f} at start, {load_mid:.2f} "
+            f"between levels, {report['load_1m']['end']:.2f} at end "
+            f"(loads > ~4 mean external contention; see the noise "
+            f"protocol above).\n\n"
             f"core ratio {N_HI / N_LO:.0f}x, throughput ratio "
             f"{report['throughput_ratio']:.2f}x, **scaling efficiency "
             f"{eff:.2f}** (north-rule target >= 0.8). Levels {N_LO}->{N_HI} "
