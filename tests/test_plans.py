@@ -81,6 +81,12 @@ def test_cosine_pairs_lsh_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+    # the bucket/rep projections are persisted: the band-key UDF must
+    # run ONCE, not once per self-join side (VERDICT r2 #1)
+    assert "InMemoryTableScan" in plan
+    from geo_inference_spark.text.similarity import release
+
+    release(out)
 
 
 def test_interval_join_plan_no_nested_loop(spark):

@@ -148,3 +148,23 @@ def test_lsh_identical_family_bounded(spark):
     got = capped.sort_values(["id1", "id2"]).reset_index(drop=True)
     exp = exp.sort_values(["id1", "id2"]).reset_index(drop=True)
     assert got.equals(exp.astype(got.dtypes.to_dict()))
+
+
+def test_release_unpersists_attached_deps(spark, docs):
+    """ADVICE r2: library callers can release the persisted signature
+    after acting on an LSH result — no cached-storage leak in
+    long-lived sessions."""
+    from geo_inference_spark.text.cache import release
+
+    out = DD.lsh_candidate_pairs(docs)
+    out.count()
+    deps = out._cached_deps
+    assert deps and all(
+        d.storageLevel.useMemory or d.storageLevel.useDisk for d in deps
+    )
+    release(out)
+    assert all(
+        not d.storageLevel.useMemory and not d.storageLevel.useDisk
+        for d in deps
+    )
+    assert out._cached_deps == []
