@@ -437,11 +437,19 @@ def cosine_pairs_lsh(
     # persist: reps feeds the bucket projection, the norm projection
     # and the family map; fam is read four times by the expansion.
     reps = base.groupBy("v").agg(F.min("id").alias("id")).persist()
-    fam = (
-        base.join(reps.select(F.col("v"), F.col("id").alias("rep")), "v")
-        .select(F.col("id").alias("mid"), "rep")
-        .persist()
-    )
+    # short-circuit: when every embedding is distinct (the common
+    # case), the family expansion is the identity — skip its four
+    # joins entirely. Two cheap counts (parquet metadata + the persist
+    # materialization that happens anyway) buy a much flatter plan.
+    n_total = emb.count()
+    n_reps = reps.count()
+    has_dups = n_reps < n_total
+    if has_dups:
+        fam = (
+            base.join(reps.select(F.col("v"), F.col("id").alias("rep")), "v")
+            .select(F.col("id").alias("mid"), "rep")
+            .persist()
+        )
     # norms computed ONCE over the collapsed reps: the refine joins
     # this projection twice (id1/id2 sides) and the intra-family
     # expansion reads it again — all from the persisted reps, so the
@@ -504,6 +512,9 @@ def cosine_pairs_lsh(
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
     )
+    if not has_dups:  # expansion is the identity: reps ARE the rows
+        out = rep_pairs.orderBy("id1", "id2")
+        return attach(out, reps, buckets)
     # expand back to members: cross-family pairs inherit the rep pair's
     # cosine (identical vectors), intra-family pairs get the exact
     # self-cosine n/(sqrt(n)*sqrt(n)) — the same fold the oracle runs
