@@ -216,6 +216,80 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact length quantiles per language — Spark's `percentile`
+    (exact, linear interpolation at rank p*(n-1)) == DuckDB's
+    quantile_cont. The 100 TB path swaps in percentile_approx
+    (t-digest) whose value is engine-specific; tests pin approx within
+    1% of exact, the gate certifies the exact twin."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.expr("round(percentile(length(text), 0.5), 6)").alias("p50"),
+            F.expr("round(percentile(length(text), 0.9), 6)").alias("p90"),
+            F.expr("round(percentile(length(text), 0.99), 6)").alias("p99"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: per near-dup cluster, keep
+    the highest-quality member (ties by doc_id). Composes the
+    distributed connected-components clustering with the quality
+    scorer — cluster assignment AND the keep decision are both
+    value-checked against the recursive-CTE + window oracle."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clusters = DD.dedup_clusters(docs)
+    quality = TA.with_quality(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_id"),
+            F.col("quality_score").alias("keep_quality"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _length_quantiles_oracle() -> str:
+    return """
+        SELECT lang,
+               round(quantile_cont(length(text), 0.5), 6) AS p50,
+               round(quantile_cont(length(text), 0.9), 6) AS p90,
+               round(quantile_cont(length(text), 0.99), 6) AS p99,
+               count(*) AS n_docs
+        FROM documents GROUP BY lang ORDER BY lang
+    """
+
+
+def _dedup_keep_best_oracle() -> str:
+    clusters = DD.dedup_clusters_oracle_sql().strip()
+    q = TA.quality_exprs(P.DUCK)["quality_score"]
+    return f"""
+        WITH qual AS (SELECT doc_id, {q} AS quality_score FROM documents)
+        SELECT cluster_id, doc_id AS keep_id, quality_score AS keep_quality
+        FROM (
+          SELECT c.cluster_id, c.doc_id, qual.quality_score,
+                 row_number() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY qual.quality_score DESC, c.doc_id
+                 ) AS rn
+          FROM ({clusters}) c JOIN qual USING (doc_id)
+        ) WHERE rn = 1 ORDER BY cluster_id
+    """
+
+
 # --------------------------------------------------------------- similarity
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,6 +661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_quality,
         "text_token_counts": q_token_counts,
         "text_fingerprints": q_fingerprints,
+        "text_length_quantiles": q_length_quantiles,
+        "dedup_keep_best": q_dedup_keep_best,
         "ann_cosine_topk": q_cosine_topk,
         "ann_cosine_pairs": q_cosine_pairs,
         "ann_cosine_pairs_lsh": q_cosine_pairs_lsh,
@@ -695,6 +771,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, {TA.fingerprint_expr(P.DUCK)} AS n_fingerprints "
             "FROM documents ORDER BY doc_id"
         ),
+        "text_length_quantiles": _length_quantiles_oracle(),
+        "dedup_keep_best": _dedup_keep_best_oracle(),
         "ann_cosine_topk": cosine_topk_oracle_sql(n_queries=4, k=5),
         "ann_cosine_pairs": cosine_pairs_oracle_sql(threshold=0.4),
         "ann_cosine_pairs_lsh": cosine_pairs_lsh_oracle_sql(threshold=0.4),

@@ -168,3 +168,13 @@ def test_release_unpersists_attached_deps(spark, docs):
         for d in deps
     )
     assert out._cached_deps == []
+
+
+def test_percentile_approx_within_1pct_of_exact(spark, docs):
+    """The 100 TB quantile path (t-digest percentile_approx) tracks
+    the exact percentile the oracle certifies to within 1%."""
+    row = docs.agg(
+        F.expr("percentile(length(text), 0.9)").alias("exact"),
+        F.expr("percentile_approx(length(text), 0.9, 10000)").alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= 0.01 * row["exact"]
