@@ -216,6 +216,49 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical web-text job — token frequency top-k per
+    language: explode(split) -> two-level aggregation -> per-lang
+    window top-5. At 10^12 docs the explode output never
+    materializes: partial (map-side) hash aggregation combines counts
+    inside the scan stage, so the shuffle carries one row per
+    (lang, word) — asserted in tests/test_plans.py."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("word"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "word", "n", "rn")
+        .orderBy("lang", "rn")
+    )
+
+
+def _top_tokens_oracle() -> str:
+    return """
+        WITH words AS (
+          SELECT lang, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+          FROM documents
+        ), counts AS (
+          SELECT lang, word, count(*) AS n FROM words
+          WHERE word <> '' GROUP BY lang, word
+        )
+        SELECT lang, word, n,
+               CAST(row_number() OVER (
+                 PARTITION BY lang ORDER BY n DESC, word
+               ) AS INT) AS rn
+        FROM counts
+        QUALIFY rn <= 5
+        ORDER BY lang, rn
+    """
+
+
 def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact length quantiles per language — Spark's `percentile`
     (exact, linear interpolation at rank p*(n-1)) == DuckDB's
@@ -662,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_token_counts,
         "text_fingerprints": q_fingerprints,
         "text_length_quantiles": q_length_quantiles,
+        "text_top_tokens": q_top_tokens,
         "dedup_keep_best": q_dedup_keep_best,
         "ann_cosine_topk": q_cosine_topk,
         "ann_cosine_pairs": q_cosine_pairs,
@@ -772,6 +816,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents ORDER BY doc_id"
         ),
         "text_length_quantiles": _length_quantiles_oracle(),
+        "text_top_tokens": _top_tokens_oracle(),
         "dedup_keep_best": _dedup_keep_best_oracle(),
         "ann_cosine_topk": cosine_topk_oracle_sql(n_queries=4, k=5),
         "ann_cosine_pairs": cosine_pairs_oracle_sql(threshold=0.4),

@@ -9,6 +9,7 @@ stages reuse the exact batch operators).
 """
 
 from .pipeline import (  # noqa: F401
+    dedup_stream,
     geocode_stream,
     read_pages_stream,
     run_stream_to_memory,

@@ -143,3 +143,19 @@ def sessionize_stream(stream: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming EXACT dedup on content hash: md5(text) ->
+    dropDuplicatesWithinWatermark. The ingest-time dedup shape for a
+    10^12-page crawl: duplicates overwhelmingly arrive close together
+    (same crawl wave / mirror set), so state is bounded by the
+    event-time watermark instead of growing with the corpus; the
+    historical long-range pass stays the batch MinHash+LSH pipeline
+    (text/dedup.py). Streamed == batch distinct proven in
+    test_streaming.py."""
+    return (
+        stream.withColumn("text_hash", F.md5(F.col("text")))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )

@@ -118,3 +118,25 @@ def test_q6_pushes_filters_to_scan(spark):
     lines = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert lines, plan
     assert "l_discount" in lines[0] and "l_quantity" in lines[0]
+
+
+def test_top_tokens_partial_agg_before_shuffle(spark):
+    """The wordcount shape: explode feeds a PARTIAL HashAggregate in
+    the same stage (map-side combine), so the shuffle carries one row
+    per (lang, word) — never the exploded token stream."""
+    import __spark_entry__ as e
+
+    out = e.q_top_tokens(spark, "/root/testdata/sf0.001")
+    plan = plan_of(out)
+    assert "Generate" in plan  # the explode
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "CartesianProduct" not in plan
+    # the plan string prints top-down, so the operator that CONSUMES
+    # the explode is the nearest HashAggregate/Exchange line ABOVE the
+    # Generate line: it must be the partial HashAggregate, not an
+    # Exchange (no shuffle of the exploded token stream)
+    lines = plan.splitlines()
+    ig = next(i for i, ln in enumerate(lines) if "Generate" in ln)
+    above = [ln for ln in lines[:ig]
+             if "HashAggregate" in ln or "Exchange" in ln]
+    assert above and "HashAggregate" in above[-1], plan

@@ -193,3 +193,42 @@ def test_stateful_sessionize_stream_equals_batch(spark, tmp_path):
     for uid in exp.index:
         assert got.loc[uid, "n_sessions"] == exp.loc[uid, "n_sessions"], uid
         assert got.loc[uid, "n_events"] == exp.loc[uid, "n_events"], uid
+
+
+def test_dedup_stream_equals_batch_distinct(spark, tmp_path):
+    """Streaming ingest dedup (dropDuplicatesWithinWatermark on
+    md5(text)) drains to exactly one row per distinct text — the same
+    set of content hashes the batch distinct computes — with
+    duplicates planted across micro-batch boundaries."""
+    import pandas as pd
+
+    from geo_inference_spark.streaming import dedup_stream
+
+    p = str(tmp_path / "dup_pages")
+    base = pages_df(spark, 600, partitions=2).toPandas()
+    # plant duplicates: 200 pages re-appear under new ids (a mirror
+    # crawl), spread over different files than the originals
+    dups = base.iloc[:200].copy()
+    dups["page_id"] = dups["page_id"] + 10_000
+    pdf = pd.concat([base, dups], ignore_index=True)
+    spark.createDataFrame(pdf).repartition(8).write.mode("overwrite").parquet(p)
+
+    stream = read_pages_stream(spark, p, max_files_per_trigger=2)
+    # the synthetic warc_ts span a month and files arrive unordered,
+    # so the watermark must cover the disorder — with a 1-hour
+    # watermark, rows landing behind the advanced watermark would be
+    # (correctly) dropped as late and streamed != batch
+    out = dedup_stream(stream, watermark="40 days")
+    q = run_stream_to_memory(out, "dedup_sink", output_mode="append")
+    got = spark.sql("SELECT text_hash FROM dedup_sink").toPandas()
+
+    batch = (
+        spark.read.parquet(p)
+        .select(F.md5(F.col("text")).alias("h"))
+        .distinct()
+        .toPandas()
+    )
+    assert sorted(got["text_hash"]) == sorted(batch["h"])
+    # and it really deduped: planted dups collapsed
+    assert len(got) == len(base["text"].unique())
+    q.stop()
