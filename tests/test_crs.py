@@ -91,3 +91,119 @@ def test_transform_bounds_utm_densified():
         assert b[1] - 1e-6 <= n <= b[3] + 1e-6
     with pytest.raises(ValueError):
         transform_bounds(4326, "EPSG:9999", 0, 0, 1, 1)
+
+
+# ------------------------- conic / azimuthal (Snyder) property oracles
+
+def _area_element(lat):
+    """Ellipsoidal area element M * N * cos(phi) on GRS80."""
+    import math
+
+    from geo_inference_spark.functions.crs import _g_e2, _GRS80_A
+
+    phi = math.radians(lat)
+    s2 = math.sin(phi) ** 2
+    M = _GRS80_A * (1 - _g_e2) / (1 - _g_e2 * s2) ** 1.5
+    N = _GRS80_A / math.sqrt(1 - _g_e2 * s2)
+    return M * N * math.cos(phi)
+
+
+def _jacobian(fwd, lon, lat, d=1e-6):
+    """Numeric d(x,y)/d(lon,lat) in meters per RADIAN."""
+    import math
+    x0, y0 = fwd(lon - d, lat)
+    x1, y1 = fwd(lon + d, lat)
+    x2, y2 = fwd(lon, lat - d)
+    x3, y3 = fwd(lon, lat + d)
+    r = math.degrees(1) / (2 * d)  # per-radian scaling
+    return ((x1 - x0) * r, (y1 - y0) * r, (x3 - x2) * r, (y3 - y2) * r)
+
+
+def _scales(fwd, lon, lat):
+    """(k along parallel, h along meridian) vs the ellipsoid."""
+    import math
+
+    from geo_inference_spark.functions.crs import _g_e2, _GRS80_A
+
+    dxdl, dydl, dxdp, dydp = _jacobian(fwd, lon, lat)
+    phi = math.radians(lat)
+    s2 = math.sin(phi) ** 2
+    M = _GRS80_A * (1 - _g_e2) / (1 - _g_e2 * s2) ** 1.5
+    N = _GRS80_A / math.sqrt(1 - _g_e2 * s2)
+    k = math.hypot(dxdl, dydl) / (N * math.cos(phi))
+    h = math.hypot(dxdp, dydp) / M
+    return k, h
+
+
+def test_lcc2154_roundtrip_and_conformal():
+    """Lambert-93: sub-mm roundtrip over France; conformality (h == k
+    everywhere) and unit scale exactly on the standard parallels —
+    the defining properties of the projection, checked numerically."""
+    from geo_inference_spark.functions.crs import _PROJ_REGISTRY
+
+    p = _PROJ_REGISTRY[2154]
+    for lon in (-4.0, 0.0, 3.0, 7.5):
+        for lat in (41.5, 44.0, 46.5, 49.0, 51.0):
+            x, y = p.fwd(lon, lat)
+            lo, la = p.inv(x, y)
+            assert abs(lo - lon) < 1e-9 and abs(la - lat) < 1e-9
+            k, h = _scales(p.fwd, lon, lat)
+            assert abs(k - h) < 1e-6 * k  # conformal
+    for sp in (44.0, 49.0):  # standard parallels: k = 1
+        k, _ = _scales(p.fwd, 3.0, sp)
+        assert abs(k - 1.0) < 1e-7
+    # k > 1 outside the parallels, < 1 between
+    assert _scales(p.fwd, 3.0, 46.5)[0] < 1.0 < _scales(p.fwd, 3.0, 51.0)[0]
+    # sanity: Paris lands where Lambert-93 puts it (public approx)
+    x, y = p.fwd(2.3522, 48.8566)
+    assert abs(x - 652_000) < 5000 and abs(y - 6_862_000) < 5000
+
+
+def test_albers5070_roundtrip_and_equal_area():
+    """CONUS Albers: sub-mm roundtrip; the numeric Jacobian equals the
+    ellipsoidal area element everywhere (equal-area property) and
+    k = 1 on both standard parallels."""
+    from geo_inference_spark.functions.crs import _PROJ_REGISTRY
+
+    p = _PROJ_REGISTRY[5070]
+    for lon in (-120.0, -96.0, -75.0):
+        for lat in (25.0, 29.5, 37.0, 45.5, 49.0):
+            x, y = p.fwd(lon, lat)
+            lo, la = p.inv(x, y)
+            assert abs(lo - lon) < 1e-9 and abs(la - lat) < 1e-9
+            dxdl, dydl, dxdp, dydp = _jacobian(p.fwd, lon, lat)
+            jac = abs(dxdl * dydp - dxdp * dydl)
+            assert abs(jac - _area_element(lat)) < 1e-5 * _area_element(lat)
+    for sp in (29.5, 45.5):
+        k, _ = _scales(p.fwd, -96.0, sp)
+        assert abs(k - 1.0) < 1e-7
+
+
+def test_laea3035_roundtrip_and_equal_area():
+    """Europe LAEA: sub-mm roundtrip; equal-area Jacobian; the
+    projection center maps to the false origin exactly."""
+    from geo_inference_spark.functions.crs import _PROJ_REGISTRY
+
+    p = _PROJ_REGISTRY[3035]
+    x0, y0 = p.fwd(10.0, 52.0)
+    assert abs(x0 - 4_321_000.0) < 1e-6 and abs(y0 - 3_210_000.0) < 1e-6
+    for lon in (-10.0, 4.35, 10.0, 25.0):
+        for lat in (35.0, 45.0, 52.0, 60.0, 70.0):
+            x, y = p.fwd(lon, lat)
+            lo, la = p.inv(x, y)
+            assert abs(lo - lon) < 1e-8 and abs(la - lat) < 1e-8
+            dxdl, dydl, dxdp, dydp = _jacobian(p.fwd, lon, lat)
+            jac = abs(dxdl * dydp - dxdp * dydl)
+            assert abs(jac - _area_element(lat)) < 1e-5 * _area_element(lat)
+
+
+def test_transform_point_routes_conics():
+    from geo_inference_spark.functions.crs import transform_point
+
+    x, y = transform_point(4326, 2154, 2.3522, 48.8566)
+    lon, lat = transform_point(2154, 4326, x, y)
+    assert abs(lon - 2.3522) < 1e-9 and abs(lat - 48.8566) < 1e-9
+    # chained: Lambert-93 -> LAEA Europe and back through lon/lat
+    ex, ny = transform_point(2154, 3035, x, y)
+    x2, y2 = transform_point(3035, 2154, ex, ny)
+    assert abs(x2 - x) < 1e-6 and abs(y2 - y) < 1e-6
