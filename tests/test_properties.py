@@ -131,3 +131,43 @@ def test_clip_area_bounds(seed):
     assert clipped <= area + 1e-9
     assert clipped <= 100.0 + 1e-9
     assert clipped >= 0.0
+
+
+@given(st.binary(min_size=0, max_size=4096))
+@settings(max_examples=80, deadline=None)
+def test_lzw_roundtrip_property(data):
+    """TIFF LZW: decode(encode(x)) == x for arbitrary byte strings —
+    exercises early-change width bumps and table resets whenever the
+    random data drives the dictionary past them."""
+    from geo_inference_spark.sources.tiff import lzw_decode, lzw_encode
+
+    assert lzw_decode(lzw_encode(data)) == data
+
+
+@given(
+    st.integers(1, 24), st.integers(1, 24), st.sampled_from([1, 2, 3, 4]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(h, w, c, seed):
+    """PNG: decode(encode(img)) == img for arbitrary small images in
+    every color type."""
+    from geo_inference_spark.sources.png import decode_png, encode_png
+
+    a = np.random.RandomState(seed).randint(0, 256, size=(h, w, c)).astype(np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(a)), a)
+
+
+@given(
+    st.floats(-170, 170, allow_nan=False), st.floats(-80, 80, allow_nan=False),
+    st.sampled_from([3857, 2154, 5070, 3035]),
+)
+@settings(max_examples=80, deadline=None)
+def test_crs_roundtrip_property(lon, lat, epsg):
+    """transform_point 4326 -> proj -> 4326 is the identity to ~1e-8
+    degrees across the supported projection registry."""
+    from geo_inference_spark.functions.crs import transform_point
+
+    x, y = transform_point(4326, epsg, lon, lat)
+    lo, la = transform_point(epsg, 4326, x, y)
+    assert abs(lo - lon) < 1e-7 and abs(la - lat) < 1e-7
