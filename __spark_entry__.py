@@ -120,6 +120,41 @@ def _knn_geo_oracle() -> str:
     """
 
 
+def q_radius_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence counts: docs within 1500 haversine km of each fixed
+    center, via the broadcast k-ring cell-cover semi-join (the big
+    side never shuffles) + exact haversine filter on candidates."""
+    import pandas as pd
+
+    from geo_inference_spark.operators.knn import radius_join
+
+    docs = _docs_with_latlon(spark, sf_dir)
+    qpdf = pd.DataFrame(KNN_QUERIES, columns=["qid", "lat", "lon"])
+    out = radius_join(spark, docs, qpdf, radius_km=1500.0, res=6,
+                      id_col="doc_id")
+    return (
+        out.groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_within"))
+        .orderBy("qid")
+    )
+
+
+def _radius_count_oracle() -> str:
+    from geo_inference_spark.operators.knn import haversine_sql
+
+    qvals = ", ".join(f"({q}, {la}, {lo})" for q, la, lo in KNN_QUERIES)
+    hav = haversine_sql("qlat", "qlon", "lat", "lon")
+    return f"""
+        WITH pts AS (
+          SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents
+        ), q(qid, qlat, qlon) AS (VALUES {qvals})
+        SELECT qid, count(*) AS n_within
+        FROM pts CROSS JOIN q
+        WHERE {hav} <= 1500.0
+        GROUP BY qid ORDER BY qid
+    """
+
+
 # --------------------------------------------------------------- dedup
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -693,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_count_per_area": q_pip_count,
         "knn_documents": q_knn,
         "knn_documents_geo": q_knn_geo,
+        "geo_radius_count": q_radius_count,
         "dedup_exact": q_exact_dedup,
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_lsh_collapsed": q_lsh_collapsed,
@@ -792,6 +828,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_documents": _knn_oracle(),
         "knn_documents_geo": _knn_geo_oracle(),
+        "geo_radius_count": _radius_count_oracle(),
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
                    count(*) AS dup_cnt

@@ -262,3 +262,86 @@ def knn_join(
     return spark.createDataFrame(
         out, schema="qid long, id long, dist double, rn int"
     ).orderBy("qid", "rn")
+
+
+def radius_join(
+    spark: SparkSession,
+    points: DataFrame,
+    queries: pd.DataFrame,
+    radius_km: float,
+    res: int = 6,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    id_col: str = "page_id",
+    max_cover_cells: int = 200_000,
+) -> DataFrame:
+    """All points within ``radius_km`` (haversine) of each query —
+    the geofencing shape: (qid, id, dist_km).
+
+    Scale plan: the k-ring cell cover of each query's radius is
+    broadcast and the big side is touched only by a broadcast hash
+    semi-join on cell id (same never-shuffle contract as knn_join);
+    the exact haversine filter runs on the candidate cells only. The
+    ring radius is grown until the planar->geodesic guarantee
+    (_guarantee_km) provably covers radius_km, so the cover misses
+    nothing; queries where the guarantee is unsound (antimeridian /
+    polar cap) or the cover explodes fall back to an exact full
+    filter for that query — still one scan of the slim projection.
+    """
+    s = hexgrid.cell_size(res)
+    pts = points.select(
+        F.col(id_col).alias("id"), F.col(lat_col).alias("lat"),
+        F.col(lon_col).alias("lon"),
+    ).withColumn("cell", hex_cell_udf(res)(F.col("lat"), F.col("lon")))
+    qmeta = spark.createDataFrame(
+        queries[["qid", "lat", "lon"]], schema="qid long, lat double, lon double"
+    ).select("qid", F.col("lat").alias("qlat"), F.col("lon").alias("qlon"))
+
+    covered, fallback = [], []
+    for _, q in queries.iterrows():
+        kr = 1
+        while True:
+            g_deg = 1.5 * s * (kr + 1) - 2.0 * s
+            g_km = _guarantee_km(g_deg, float(q["lat"]), float(q["lon"]))
+            if g_km >= radius_km:
+                break
+            kr *= 2
+            if kr > 1 << 20:
+                kr = None
+                break
+        n_cells = 1 + 3 * kr * (kr + 1) if kr is not None else None
+        if kr is None or n_cells > max_cover_cells:
+            fallback.append(int(q["qid"]))
+        else:
+            covered.append((q, kr))
+
+    parts = []
+    if covered:
+        frames = []
+        for q, kr in covered:
+            ring = hexgrid.k_ring(
+                hexgrid.latlng_to_cell(
+                    np.asarray([q["lat"]]), np.asarray([q["lon"]]), res
+                ),
+                kr,
+            )
+            frames.append(pd.DataFrame({
+                "qid": np.full(ring.size, int(q["qid"]), np.int64),
+                "cell": ring.ravel(),
+            }))
+        cover = spark.createDataFrame(
+            pd.concat(frames, ignore_index=True), schema="qid long, cell long"
+        )
+        parts.append(pts.join(F.broadcast(cover), on="cell"))
+    if fallback:
+        fb = spark.createDataFrame(
+            [(int(v),) for v in fallback], schema="qid long"
+        )
+        parts.append(pts.crossJoin(F.broadcast(fb)))
+    out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    return (
+        out.join(F.broadcast(qmeta), on="qid")
+        .withColumn("dist", _dist_col("haversine"))
+        .filter(F.col("dist") <= float(radius_km))
+        .select("qid", "id", F.col("dist").alias("dist_km"))
+    )

@@ -161,3 +161,33 @@ def test_knn_haversine_matches_bruteforce(spark):
         assert got_ids == exp_ids, (q.qid, got_ids, exp_ids)
     # sanity: distances are km-scale (not degrees)
     assert got["dist"].max() > 2.0 * KM_PER_DEG / 111.0  # > planar-deg scale
+
+
+def test_radius_join_matches_bruteforce_incl_antimeridian(spark):
+    """Geofence radius query == brute-force haversine filter, including
+    a query hugging the antimeridian (planar cover unsound there, so
+    that query routes through the exact full-filter fallback)."""
+    from geo_inference_spark.operators.knn import radius_join
+
+    pages = pages_df(spark, 3000, partitions=4)
+    pts = pages.select("page_id", "lat", "lon").toPandas()
+    queries = pd.DataFrame(
+        {"qid": [0, 1, 2], "lat": [10.0, 55.0, -20.0],
+         "lon": [-60.0, 5.0, 179.95]}
+    )
+    got = radius_join(
+        spark, pages, queries, radius_km=800.0, res=6
+    ).toPandas()
+    lat, lon = pts["lat"].to_numpy(), pts["lon"].to_numpy()
+    for _, q in queries.iterrows():
+        dphi = np.radians(lat - q.lat)
+        dlam = np.radians(lon - q.lon)
+        a = (
+            np.sin(dphi / 2) ** 2
+            + np.cos(np.radians(q.lat)) * np.cos(np.radians(lat))
+            * np.sin(dlam / 2) ** 2
+        )
+        d = 2 * 6371.0088 * np.arcsin(np.sqrt(a))
+        exp_ids = set(pts["page_id"].to_numpy()[d <= 800.0].tolist())
+        got_ids = set(got[got.qid == q.qid]["id"].tolist())
+        assert got_ids == exp_ids, (q.qid, len(got_ids), len(exp_ids))
