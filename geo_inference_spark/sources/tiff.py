@@ -294,6 +294,210 @@ def write_geotiff(
         f.write(b"".join(out))
 
 
+def _decode_vals(bo: str, typ: int, cnt: int, raw: bytes):
+    if typ == 3:
+        return struct.unpack(f"{bo}{cnt}H", raw)
+    if typ == 4:
+        return struct.unpack(f"{bo}{cnt}I", raw)
+    if typ in (16, 17):  # BigTIFF LONG8 / SLONG8
+        return struct.unpack(f"{bo}{cnt}{'q' if typ == 17 else 'Q'}", raw)
+    if typ == 12:
+        return struct.unpack(f"{bo}{cnt}d", raw)
+    if typ == 11:
+        return struct.unpack(f"{bo}{cnt}f", raw)
+    return (raw,)
+
+
+def read_geotiff_tags(path: str):
+    """Parse the first IFD by SEEKING — a few KB of IO regardless of
+    raster size (the driver-side step of the distributed scan).
+    Returns (tags, byte_order)."""
+    with open(path, "rb") as f:
+        head = f.read(4)
+        if head[:2] == b"II":
+            bo = "<"
+        elif head[:2] == b"MM":
+            bo = ">"
+        else:
+            raise ValueError("not a TIFF file")
+        (magic,) = struct.unpack(f"{bo}H", head[2:4])
+        if magic == 42:
+            big = False
+            (off,) = struct.unpack(f"{bo}I", f.read(4))
+        elif magic == 43:
+            big = True
+            offsz, pad = struct.unpack(f"{bo}HH", f.read(4))
+            if offsz != 8 or pad != 0:
+                raise ValueError("malformed BigTIFF header")
+            (off,) = struct.unpack(f"{bo}Q", f.read(8))
+        else:
+            raise ValueError(f"unknown TIFF magic {magic}")
+        f.seek(off)
+        if big:
+            (n,) = struct.unpack(f"{bo}Q", f.read(8))
+            esz, inline, cnt_fmt, ptr_fmt = 20, 8, "Q", "Q"
+        else:
+            (n,) = struct.unpack(f"{bo}H", f.read(2))
+            esz, inline, cnt_fmt, ptr_fmt = 12, 4, "I", "I"
+        ent = f.read(n * esz)
+        tags = {}
+        deferred = []
+        for i in range(n):
+            tag, typ = struct.unpack_from(f"{bo}HH", ent, i * esz)
+            (cnt,) = struct.unpack_from(f"{bo}{cnt_fmt}", ent, i * esz + 4)
+            raw = ent[i * esz + esz - inline : i * esz + esz]
+            size = _FMT_SIZES.get(typ, 1) * cnt
+            if size > inline:
+                (ptr,) = struct.unpack(f"{bo}{ptr_fmt}", raw)
+                deferred.append((tag, typ, cnt, ptr, size))
+            else:
+                tags[tag] = _decode_vals(bo, typ, cnt, raw[:size])
+        for tag, typ, cnt, ptr, size in deferred:
+            f.seek(ptr)
+            tags[tag] = _decode_vals(bo, typ, cnt, f.read(size))
+    return tags, bo
+
+
+def _meta_from_tags(t: dict) -> dict:
+    transform = (1.0, 0.0, 0.0, 0.0, -1.0, 0.0)
+    if T_MODEL_PIXEL_SCALE in t and T_MODEL_TIEPOINT in t:
+        sx, sy = t[T_MODEL_PIXEL_SCALE][0], t[T_MODEL_PIXEL_SCALE][1]
+        tp = t[T_MODEL_TIEPOINT]
+        transform = (
+            sx, 0.0, tp[3] - tp[0] * sx, 0.0, -sy, tp[4] + tp[1] * sy
+        )
+    epsg = None
+    if T_GEO_KEYS in t:
+        keys = t[T_GEO_KEYS]
+        for i in range(4, len(keys), 4):
+            if keys[i] in (2048, 3072):
+                epsg = keys[i + 3]
+    return {
+        "transform": transform,
+        "crs": f"EPSG:{epsg}" if epsg else None,
+        "width": t[T_WIDTH][0],
+        "height": t[T_HEIGHT][0],
+        "count": t.get(T_SAMPLES_PER_PIXEL, (1,))[0],
+        "nodata": None,
+    }
+
+
+def geotiff_index(path: str) -> dict:
+    """Segment index for executor-side windowed reads: per-segment
+    (byte offset, byte count, pixel window), plus decode parameters.
+    Driver cost is the IFD only — never the pixel data."""
+    t, bo = read_geotiff_tags(path)
+    comp = t.get(T_COMPRESSION, (1,))[0]
+    if comp not in (1, 5, 8, 32946):
+        raise ValueError(
+            f"TIFF compression {comp} needs the rasterio seam "
+            "(this codec reads none/LZW/deflate)"
+        )
+    predictor = t.get(T_PREDICTOR, (1,))[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF predictor {predictor} not supported")
+    if t.get(T_PLANAR, (1,))[0] != 1:
+        raise ValueError("only contiguous planar config supported")
+    w, h = t[T_WIDTH][0], t[T_HEIGHT][0]
+    bands = t.get(T_SAMPLES_PER_PIXEL, (1,))[0]
+    dt = _np_dtype(t[T_BITS][0], t.get(T_SAMPLE_FORMAT, (1,))[0], bo)
+    segs = []  # (off, cnt, y0, y1, x0, x1, seg_h, seg_w)
+    if T_TILE_OFFSETS in t:
+        tw, th = t[T_TILE_WIDTH][0], t[T_TILE_HEIGHT][0]
+        tnx = -(-w // tw)
+        for i, (off, cnt) in enumerate(zip(t[T_TILE_OFFSETS], t[T_TILE_COUNTS])):
+            ty, tx = divmod(i, tnx)
+            y0, x0 = ty * th, tx * tw
+            segs.append((off, cnt, y0, min(y0 + th, h), x0,
+                         min(x0 + tw, w), th, tw))
+    else:
+        rps = t.get(T_ROWS_PER_STRIP, (h,))[0]
+        y0 = 0
+        for off, cnt in zip(t[T_STRIP_OFFSETS], t[T_STRIP_COUNTS]):
+            rows = min(rps, h - y0)
+            segs.append((off, cnt, y0, y0 + rows, 0, w, rows, w))
+            y0 += rows
+    return {
+        "path": path, "comp": comp, "predictor": predictor,
+        "dtype_str": dt.str, "width": w, "height": h, "count": bands,
+        "segments": segs, "meta": _meta_from_tags(t),
+    }
+
+
+def read_geotiff_chunks_distributed(
+    spark, path: str, stride: int, partitions: int | None = None
+):
+    """The 100 TB GeoTIFF scan: driver parses only the IFD (KBs) and
+    builds the (ty, tx) chunk-grid task table; every EXECUTOR seeks
+    and decodes just the strips/tiles its chunks overlap — the raster
+    pixels never touch the driver (same contract as the zarr scan;
+    the path must be visible to executors, which at scale is the
+    object store / shared FS the raster lives on).
+
+    Returns ((ty, tx, chunk) DataFrame, ny, nx, meta) — the engine's
+    CHUNK layout, consumable by overlap_stitch unchanged; edge chunks
+    zero-padded exactly like raster_to_chunks.
+    """
+    import pandas as pd
+
+    from ..operators.overlap import CHUNK_SCHEMA, np_to_bytes
+
+    idx = geotiff_index(path)
+    h, w, bands = idx["height"], idx["width"], idx["count"]
+    s = int(stride)
+    ny, nx = -(-h // s), -(-w // s)
+    tasks = spark.createDataFrame(
+        [(ty, tx) for ty in range(ny) for tx in range(nx)],
+        schema="ty int, tx int",
+    )
+    if partitions:
+        tasks = tasks.repartition(partitions)
+    b = spark.sparkContext.broadcast(idx)
+
+    def decode(pdf_iter):
+        ix = b.value
+        dt = np.dtype(ix["dtype_str"])
+        comp, pred = ix["comp"], ix["predictor"]
+        cache: dict = {}  # segment id -> decoded array (LZW strips
+        # span many chunks in a row; tiny LRU avoids re-inflating)
+        with open(ix["path"], "rb") as f:
+            for pdf in pdf_iter:
+                out = []
+                for ty, tx in zip(pdf["ty"], pdf["tx"]):
+                    y0, x0 = int(ty) * s, int(tx) * s
+                    y1, x1 = min(y0 + s, ix["height"]), min(x0 + s, ix["width"])
+                    chunk = np.zeros((ix["count"], s, s), np.float64)
+                    for si, (off, cnt, sy0, sy1, sx0, sx1, sh, sw) in enumerate(
+                        ix["segments"]
+                    ):
+                        if sy1 <= y0 or sy0 >= y1 or sx1 <= x0 or sx0 >= x1:
+                            continue
+                        seg = cache.get(si)
+                        if seg is None:
+                            f.seek(off)
+                            raw = f.read(cnt)
+                            seg = _decode_segment(
+                                raw, 0, cnt, comp, dt,
+                                sh * sw * ix["count"],
+                                (sh, sw, ix["count"]), pred,
+                            )
+                            if len(cache) >= 4:
+                                cache.pop(next(iter(cache)))
+                            cache[si] = seg
+                        iy0, iy1 = max(y0, sy0), min(y1, sy1)
+                        ixx0, ixx1 = max(x0, sx0), min(x1, sx1)
+                        piece = seg[iy0 - sy0:iy1 - sy0, ixx0 - sx0:ixx1 - sx0]
+                        chunk[:, iy0 - y0:iy1 - y0, ixx0 - x0:ixx1 - x0] = (
+                            np.moveaxis(piece, -1, 0).astype(np.float64)
+                        )
+                    out.append(np_to_bytes(chunk))
+                yield pd.DataFrame(
+                    {"ty": pdf["ty"], "tx": pdf["tx"], "chunk": out}
+                )
+
+    return tasks.mapInPandas(decode, CHUNK_SCHEMA), ny, nx, idx["meta"]
+
+
 def _read_ifd(buf: bytes, bo: str, big: bool = False):
     """Parse the first IFD — classic (4-byte offsets, 12-byte entries)
     or BigTIFF (8-byte offsets, 20-byte entries, LONG8 types)."""
@@ -318,19 +522,7 @@ def _read_ifd(buf: bytes, bo: str, big: bool = False):
             raw = buf[ptr : ptr + size]
         else:
             raw = buf[voff : voff + size]
-        if typ == 3:
-            vals = struct.unpack(f"{bo}{cnt}H", raw)
-        elif typ == 4:
-            vals = struct.unpack(f"{bo}{cnt}I", raw)
-        elif typ in (16, 17):  # BigTIFF LONG8 / SLONG8
-            vals = struct.unpack(f"{bo}{cnt}{'q' if typ == 17 else 'Q'}", raw)
-        elif typ == 12:
-            vals = struct.unpack(f"{bo}{cnt}d", raw)
-        elif typ == 11:
-            vals = struct.unpack(f"{bo}{cnt}f", raw)
-        else:
-            vals = (raw,)
-        tags[tag] = vals
+        tags[tag] = _decode_vals(bo, typ, cnt, raw)
     return tags
 
 

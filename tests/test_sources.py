@@ -624,3 +624,44 @@ def test_stac_item_band_stack(tmp_path):
     np.testing.assert_array_equal(arr[0], bands["nir"].astype(np.float64))
     np.testing.assert_array_equal(arr[1], bands["red"].astype(np.float64))
     assert meta["crs"] == "EPSG:32610"
+
+
+def test_geotiff_distributed_chunks_equal_full_read(spark, tmp_path):
+    """Executor-side windowed GeoTIFF scan == driver full-read cut,
+    for uncompressed/LZW/deflate striped files and a tiled LZW forge —
+    the raster pixels never touch the driver (IFD-only parse)."""
+    import numpy as np
+
+    from geo_inference_spark.operators.overlap import bytes_to_np, raster_to_chunks
+    from geo_inference_spark.sources.tiff import (
+        read_geotiff,
+        read_geotiff_chunks_distributed,
+        write_geotiff,
+    )
+
+    rng = np.random.RandomState(15)
+    a = rng.uniform(0, 255, size=(2, 37, 29)).astype(np.float32)
+    cases = []
+    for comp in (None, "lzw", "deflate"):
+        fp = str(tmp_path / f"d_{comp}.tif")
+        write_geotiff(a, fp, transform=(0.5, 0, 10.0, 0, -0.5, 90.0),
+                      epsg=32618, rows_per_strip=16, compression=comp)
+        cases.append(fp)
+    at = rng.randint(0, 200, size=(19, 23, 3)).astype(np.uint16)
+    fp_t = str(tmp_path / "d_tiled.tif")
+    _forge_tiff(at, "<", fp_t, comp=5, tiled=True, ts=8)
+    cases.append(fp_t)
+
+    for fp in cases:
+        full, meta = read_geotiff(fp)
+        ref, rny, rnx = raster_to_chunks(spark, full, 8)
+        dist, ny, nx, dmeta = read_geotiff_chunks_distributed(spark, fp, 8)
+        assert (ny, nx) == (rny, rnx)
+        assert dmeta["width"] == meta["width"]
+        exp = {(r.ty, r.tx): bytes_to_np(bytes(r.chunk), (meta["count"], 8, 8))
+               for r in ref.collect()}
+        got = {(r.ty, r.tx): bytes_to_np(bytes(r.chunk), (meta["count"], 8, 8))
+               for r in dist.collect()}
+        assert got.keys() == exp.keys()
+        for k in exp:
+            np.testing.assert_array_equal(got[k], exp[k], err_msg=f"{fp} {k}")
