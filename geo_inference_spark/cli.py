@@ -188,7 +188,6 @@ def run(args: dict) -> dict:
     from .sources.sinks import write_geojson, write_mask_tiles, write_yolo_csv
 
     spark = get_spark("geo-inference-cli", cores=args["cores"])
-    arr, meta = _load_raster(args["image"], args["bbox"])
     model = _load_model(args["model"], args["classes"])
     if args["transformers"]:
         model = tta_wrap(
@@ -197,11 +196,30 @@ def run(args: dict) -> dict:
             rotate=args["transformer_rotate"],
         )
     stride = max(2, args["patch_size"] // 2)
-    chunks, ny, nx = raster_to_chunks(
-        spark, arr, stride, partitions=args["workers"] or None
-    )
+    # GeoTIFF without a bbox: the distributed windowed scan — the
+    # driver parses only the IFD, executors decode their own
+    # strips/tiles (the 100 TB shape). Exotic codecs / .npy / bbox
+    # crops fall back to the driver-side load.
+    chunks = None
+    if args["image"].lower().endswith((".tif", ".tiff")) and not args["bbox"]:
+        try:
+            from .sources.tiff import read_geotiff_chunks_distributed
+
+            chunks, ny, nx, meta = read_geotiff_chunks_distributed(
+                spark, args["image"], stride,
+                partitions=args["workers"] or None,
+            )
+            n_bands = meta["count"]
+        except ValueError:
+            chunks = None
+    if chunks is None:
+        arr, meta = _load_raster(args["image"], args["bbox"])
+        n_bands = arr.shape[0]
+        chunks, ny, nx = raster_to_chunks(
+            spark, arr, stride, partitions=args["workers"] or None
+        )
     tiles = overlap_stitch(
-        chunks, model, arr.shape[0], stride, ny, nx, args["classes"],
+        chunks, model, n_bands, stride, ny, nx, args["classes"],
         meta["nodata"], args["prediction_thr"],
     )
     wd = args["work_dir"]
