@@ -723,6 +723,71 @@ def _overlap_polygonize_oracle() -> str:
     )
 
 
+def q_raster_scan_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL S1->R3 chain through the real codec: a deterministic
+    raster written as an LZW GeoTIFF by the from-scratch writer, read
+    back by the DISTRIBUTED executor-side windowed scan (driver
+    parses only the IFD), stitched and polygonized. Oracle: literal
+    VALUES from the dense single-process reference pipeline on the
+    identical (float32-rounded) array — so the gate value-checks the
+    codec, the windowed scan, the stitch and the distributed
+    connected components in one chain."""
+    import os
+
+    from geo_inference_spark.sources.tiff import (
+        read_geotiff_chunks_distributed,
+        write_geotiff,
+    )
+
+    rng = np.random.RandomState(43)
+    arr32 = rng.uniform(0, 255, size=(2, 32, 48)).astype(np.float32)
+    path = "/tmp/graft_scan_seed43_lzw.tif"
+    if not os.path.exists(path):
+        write_geotiff(arr32, path, compression="lzw")
+    chunks, ny, nx, meta = read_geotiff_chunks_distributed(spark, path, 8)
+    model = make_linear_model(num_classes=3)
+    tiles = overlap_stitch(chunks, model, 2, 8, ny, nx, 3)
+    return polygonize_tiles(spark, tiles, 8, min_area=2.0).select(
+        "poly_id", "value", "area"
+    ).orderBy("poly_id")
+
+
+def _raster_scan_polygonize_oracle() -> str:
+    """Dense reference pipeline on the float32-rounded array."""
+    from geo_inference_spark.geom.core import polygon_area
+    from geo_inference_spark.raster.dense import dense_infer_mask
+    from geo_inference_spark.raster.polygonize import (
+        boundary_edges,
+        chain_rings,
+        label_components,
+        rings_to_polygon,
+        split_edges_by_label,
+    )
+
+    rng = np.random.RandomState(43)
+    arr = rng.uniform(0, 255, size=(2, 32, 48)).astype(np.float32).astype(
+        np.float64
+    )
+    mask = dense_infer_mask(arr, make_linear_model(3), 16, 3)
+    w = mask.shape[1]
+    lab = label_components(mask)
+    rows = []
+    for comp, comp_edges in split_edges_by_label(boundary_edges(lab)):
+        rings = rings_to_polygon(chain_rings(comp_edges))
+        area = polygon_area(rings)
+        if area < 2.0:
+            continue
+        y, x = divmod(int(comp), w)
+        rows.append(((y << 32) + x, float(mask[y, x]), float(area)))
+    vals = ", ".join(f"({pid}, {v!r}, {a!r})" for pid, v, a in rows)
+    return (
+        "SELECT CAST(poly_id AS BIGINT) AS poly_id,"
+        " CAST(value AS DOUBLE) AS value, CAST(area AS DOUBLE) AS area"
+        f" FROM (VALUES {vals}) AS t(poly_id, value, area)"
+        " ORDER BY poly_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_count_per_area": q_pip_count,
@@ -760,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_byte_stats": q_media_bytes,
         "media_decode": q_media_decode,
         "raster_overlap_polygonize": q_overlap_polygonize,
+        "raster_scan_polygonize": q_raster_scan_polygonize,
         "rel_q1_pricing_summary": R.q1_pricing_summary,
         "rel_q3_shipping_priority": R.q3_shipping_priority,
         "rel_q5_local_supplier_volume": R.q5_local_supplier_volume,
@@ -874,6 +940,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_counts_salted": _cell_counts_salted_oracle(),
         "media_decode": _media_decode_oracle(),
         "raster_overlap_polygonize": _overlap_polygonize_oracle(),
+        "raster_scan_polygonize": _raster_scan_polygonize_oracle(),
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 2) AS sum_value
