@@ -177,14 +177,18 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lsh_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof LSH: exact-dup families collapse to one bucket row
-    per band before banding; output = family edges + rep pairs."""
+    per band before banding; output = family edges + rep pairs. The
+    rep banding runs with the bucket cap ACTIVE (default max_bucket=64,
+    mirrored by QUALIFY in the oracle) so near-identical families that
+    survive the collapse stay bounded too (VERDICT r3 #1)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return DD.lsh_collapsed_pairs(docs)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup decision: near-dup connected components via the
-    engine's distributed CC; DuckDB twin = recursive CTE."""
+    engine's distributed CC; DuckDB twin = recursive CTE. Inherits the
+    default-on rep bucket cap from lsh_collapsed_pairs."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return DD.dedup_clusters(docs)
 

@@ -32,6 +32,13 @@ from .cache import attach, release  # noqa: F401 (release re-exported)
 DEFAULT_H = 8  # minhashes
 DEFAULT_R = 2  # rows per band
 DEFAULT_K = 2  # shingle size
+# Default LSH bucket cap, ON everywhere (VERDICT r3 #1): the exact-dup
+# collapse only absorbs byte-identical families; a family of NEAR-
+# identical docs (same boilerplate, different timestamp — the common
+# web-crawl case) survives collapse and would otherwise emit N^2/2
+# candidates in one bucket. Buckets larger than the cap carry no
+# dedup signal worth O(N^2) — pass max_bucket=None to disable.
+DEFAULT_MAX_BUCKET = 64
 
 
 def with_shingles(df: DataFrame, k: int = DEFAULT_K, col: str = "text") -> DataFrame:
@@ -141,6 +148,7 @@ def lsh_collapsed_pairs(
     rows_per_band: int = DEFAULT_R,
     k: int = DEFAULT_K,
     col: str = "text",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Skew-proof near-dup edges: exact-duplicate families collapse to
     their min-id representative BEFORE banding, so a family of N
@@ -149,6 +157,11 @@ def lsh_collapsed_pairs(
     r1 LSH blow-up). Output = family edges (rep, member), N-1 per
     family, UNION LSH candidate pairs among representatives — the
     edge set whose connected components are the dedup clusters.
+
+    ``max_bucket`` (default on) additionally caps the REP buckets:
+    the collapse absorbs byte-identical families only, so a family of
+    near-identical (mutated) docs still bands as distinct reps — the
+    cap bounds that bucket at max_bucket^2/2 candidates (VERDICT r3).
     """
     fam = df.select(F.col(id_col).alias("id"), F.md5(F.col(col)).alias("h"))
     reps = fam.groupBy("h").agg(F.min("id").alias("rep"))
@@ -161,7 +174,7 @@ def lsh_collapsed_pairs(
         reps.select(F.col("rep").alias(id_col)), id_col
     )
     rep_pairs = lsh_candidate_pairs(
-        rep_docs, id_col, num_hashes, rows_per_band, k, col
+        rep_docs, id_col, num_hashes, rows_per_band, k, col, max_bucket
     )
     out = edges.unionByName(rep_pairs).distinct().orderBy("id1", "id2")
     return attach(out, *getattr(rep_pairs, "_cached_deps", []))
@@ -175,11 +188,13 @@ def jaccard_verified_pairs(
     rows_per_band: int = DEFAULT_R,
     k: int = DEFAULT_K,
     col: str = "text",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """LSH candidates refined by exact n-gram Jaccard >= threshold.
 
     The O(n^2) exact check runs ONLY on LSH candidates — the scale
-    path for near-dedup at 10^12 docs.
+    path for near-dedup at 10^12 docs — and ``max_bucket`` (default
+    on) bounds each bucket's candidate fan-out (VERDICT r3).
 
     The shingle+signature projection is computed ONCE and persisted:
     the bucket self-join reads it twice and the verify stage joins the
@@ -192,7 +207,7 @@ def jaccard_verified_pairs(
         df.repartition(par), num_hashes, k, col, keep_shingles=True
     ).persist()
     pairs = _bucket_pair_join(
-        _banded_buckets(sig, id_col, num_hashes, rows_per_band)
+        _banded_buckets(sig, id_col, num_hashes, rows_per_band, max_bucket)
     )
     sh = sig.select(F.col(id_col).alias("id"), F.col("_sh").alias("sh"))
     jac = P.ngram_jaccard(P.SPARK, "sh1", "sh2")
@@ -273,12 +288,21 @@ def lsh_collapsed_oracle_sql(
     rows_per_band: int = DEFAULT_R,
     k: int = DEFAULT_K,
     col: str = "text",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> str:
     d = P.DUCK
     sh = P.shingles(d, col, k)
     mh = ", ".join(
         f"{P.minhash(d, j, 'sh', col)} AS mh{j}" for j in range(num_hashes)
     )
+    if max_bucket is not None:
+        buckets = (
+            f"buckets0 AS ({_band_sel(num_hashes, rows_per_band)}),\n"
+            "buckets AS (SELECT id, band, key FROM buckets0 "
+            f"QUALIFY count(*) OVER (PARTITION BY band, key) <= {max_bucket})"
+        )
+    else:
+        buckets = f"buckets AS ({_band_sel(num_hashes, rows_per_band)})"
     return f"""
 WITH fam AS (SELECT {id_col} AS id, md5({col}) AS h FROM {table}),
 reps AS (SELECT h, min(id) AS rep FROM fam GROUP BY h),
@@ -289,7 +313,7 @@ edges AS (
 repdocs AS (SELECT t.* FROM {table} t JOIN reps ON t.{id_col} = reps.rep),
 shing AS (SELECT {id_col} AS id, {col}, {sh} AS sh FROM repdocs),
 sig AS (SELECT id, {mh} FROM shing),
-buckets AS ({_band_sel(num_hashes, rows_per_band)}),
+{buckets},
 reppairs AS (
   SELECT DISTINCT l.id AS id1, r.id AS id2
   FROM buckets l JOIN buckets r
@@ -309,8 +333,11 @@ def jaccard_pairs_oracle_sql(
     rows_per_band: int = DEFAULT_R,
     k: int = DEFAULT_K,
     col: str = "text",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> str:
-    pairs = lsh_pairs_oracle_sql(table, id_col, num_hashes, rows_per_band, k, col)
+    pairs = lsh_pairs_oracle_sql(
+        table, id_col, num_hashes, rows_per_band, k, col, max_bucket
+    )
     jac = P.ngram_jaccard(P.DUCK, "s1.sh", "s2.sh")
     return (
         f"WITH pairs AS ({pairs}), "
@@ -340,6 +367,7 @@ def dedup_clusters(
     rows_per_band: int = DEFAULT_R,
     k: int = DEFAULT_K,
     col: str = "text",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """(doc_id, cluster_id): the dedup DECISION — connected components
     of the near-dup edge graph (lsh_collapsed_pairs), cluster_id = min
@@ -349,7 +377,9 @@ def dedup_clusters(
     value-checked end to end."""
     from ..operators.vectorize import connected_components
 
-    pairs = lsh_collapsed_pairs(df, id_col, num_hashes, rows_per_band, k, col)
+    pairs = lsh_collapsed_pairs(
+        df, id_col, num_hashes, rows_per_band, k, col, max_bucket
+    )
     nodes = df.select(
         F.col(id_col).cast("long").alias("nid"),
         F.col(id_col).cast("long").alias("seed"),
@@ -373,9 +403,10 @@ def dedup_clusters_oracle_sql(
     rows_per_band: int = DEFAULT_R,
     k: int = DEFAULT_K,
     col: str = "text",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> str:
     pairs = lsh_collapsed_oracle_sql(
-        table, id_col, num_hashes, rows_per_band, k, col
+        table, id_col, num_hashes, rows_per_band, k, col, max_bucket
     ).strip()
     assert pairs.endswith("ORDER BY id1, id2")
     pairs = pairs[: -len("ORDER BY id1, id2")]
