@@ -13,6 +13,7 @@ oracle_sql()   — DuckDB-equivalent SQL per query (same column names).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import numpy as np
@@ -736,8 +737,6 @@ def q_raster_scan_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical (float32-rounded) array — so the gate value-checks the
     codec, the windowed scan, the stitch and the distributed
     connected components in one chain."""
-    import os
-
     from geo_inference_spark.sources.tiff import (
         read_geotiff_chunks_distributed,
         write_geotiff,
@@ -745,9 +744,10 @@ def q_raster_scan_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rng = np.random.RandomState(43)
     arr32 = rng.uniform(0, 255, size=(2, 32, 48)).astype(np.float32)
+    # always rewrite the 12 KB fixture: a stale file from an older
+    # writer version must never poison the codec-chain gate (ADVICE r3)
     path = "/tmp/graft_scan_seed43_lzw.tif"
-    if not os.path.exists(path):
-        write_geotiff(arr32, path, compression="lzw")
+    write_geotiff(arr32, path, compression="lzw")
     chunks, ny, nx, meta = read_geotiff_chunks_distributed(spark, path, 8)
     model = make_linear_model(num_classes=3)
     tiles = overlap_stitch(chunks, model, 2, 8, ny, nx, 3)
@@ -929,10 +929,18 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_pairs": cosine_pairs_oracle_sql(threshold=0.4),
         "ann_cosine_pairs_lsh": cosine_pairs_lsh_oracle_sql(threshold=0.4),
         "ann_srp_lsh_topk": srp_lsh_topk_oracle_sql(n_queries=4, k=5),
-        # the driver compares at sf0.01 — the twin trains its literal
-        # centroids on the same rows the Spark query trains on there
+        # the twin trains its literal centroids on the same rows the
+        # Spark query trains on at the gate's scale factor. The driver
+        # compares at sf0.01 (the default); a gate running at another
+        # sf must export SPARK_GRAFT_ORACLE_SF so the twin trains on
+        # the matching table instead of silently diverging (ADVICE r3).
         "ann_ivf_topk": ivf_topk_oracle_sql(
-            "/root/testdata/sf0.01/embeddings.parquet", n_queries=4, k=5
+            os.environ.get(
+                "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+            )
+            + "/embeddings.parquet",
+            n_queries=4,
+            k=5,
         ),
         # the invariant IS the assertion: every synthetic page's
         # extracted text must be byte-identical to the stored text

