@@ -5,12 +5,15 @@
         scripts/run_pip_job.py \
         --pages <parquet/iceberg path or synth:N> \
         --out <output parquet> [--res 8] [--areas 64] \
-        [--ledger <ledger path>]
+        [--ledger <ledger path>] [--units 8] [--unit-col cell_h4_bkt]
 
 The script imports the engine ONLY from the shipped zip (no repo on
 the executors), runs geocode -> adaptive-cover PIP join -> per-area
-counts, writes the result, and commits a ledger entry so a rerun
-skips completed work (resumable-from-checkpoint requirement).
+counts, and commits ONE LEDGER ROW PER UNIT (a hash slice of the
+input, or the table's physical bucket when --unit-col names one), so
+a crashed run resumes exactly the unfinished units via the ledger
+anti-join (north rule: per-partition lineage). --units 1 reproduces
+the old whole-input commit.
 """
 
 from __future__ import annotations
@@ -27,6 +30,12 @@ def main() -> None:
     ap.add_argument("--res", type=int, default=8)
     ap.add_argument("--areas", type=int, default=64)
     ap.add_argument("--ledger", default=None)
+    ap.add_argument("--units", type=int, default=8,
+                    help="ledger units (one commit per unit)")
+    ap.add_argument("--unit-col", default=None,
+                    help="0..units-1 int column that is the table's "
+                         "physical partition column (partition-pruned "
+                         "units); default: xxhash64(page_id) slices")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -36,6 +45,11 @@ def main() -> None:
     # engine imports resolve from --py-files on the executors/driver
     from geo_inference_spark.operators.pip_join import pages_per_area
     from geo_inference_spark.plans.ledger import CheckpointLedger
+    from geo_inference_spark.plans.pip_job import (
+        finalize_pip_job,
+        resumable_pip_job,
+        unit_keys,
+    )
     from geo_inference_spark.sources.pages import pages_df, synth_admin_polygons
 
     if args.pages.startswith("synth:"):
@@ -43,23 +57,38 @@ def main() -> None:
     else:
         pages = spark.read.parquet(args.pages)
     polys = synth_admin_polygons(n_areas=args.areas)
-
-    part_key = f"{args.pages}@res{args.res}"
-    ledger = CheckpointLedger(spark, args.ledger) if args.ledger else None
-    if ledger is not None:
-        done = {r.part_key for r in ledger.done("pip_job").collect()}
-        if part_key in done:
-            print(f"SKIP {part_key}: already committed")
-            return
+    tag = f"{args.pages}@res{args.res}"
 
     t0 = time.perf_counter()
-    out = pages_per_area(spark, pages, polys, res=args.res)
-    out.write.mode("overwrite").parquet(args.out)
-    n = spark.read.parquet(args.out).agg({"cnt": "sum"}).collect()[0][0]
+    if args.ledger is None:
+        # no ledger: single straight-through run, no resume
+        out = pages_per_area(spark, pages, polys, res=args.res)
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).agg({"cnt": "sum"}).collect()[0][0]
+        dt = time.perf_counter() - t0
+        print(f"DONE {tag}: {n} matched pages in {dt:.1f}s -> {args.out}")
+        return
+
+    ledger = CheckpointLedger(spark, args.ledger)
+    done_before = {r.part_key for r in ledger.done("pip_job").collect()}
+    keys = unit_keys(tag, args.units)
+    todo = [k for k in keys if k not in done_before]
+    if not todo:
+        print(f"SKIP {tag}: all {args.units} units already committed")
+        return
+    if len(todo) < len(keys):
+        print(f"RESUME {tag}: {len(todo)}/{len(keys)} units remaining")
+    ran = resumable_pip_job(
+        spark, pages, polys, args.out, args.res, ledger, tag,
+        n_units=args.units, unit_col=args.unit_col,
+    )
+    final = finalize_pip_job(spark, args.out)
+    n = final.agg({"cnt": "sum"}).collect()[0][0]
     dt = time.perf_counter() - t0
-    print(f"DONE {part_key}: {n} matched pages in {dt:.1f}s -> {args.out}")
-    if ledger is not None:
-        ledger.commit("pip_job", [(part_key, int(n), int(dt * 1000))])
+    print(
+        f"DONE {tag}: {n} matched pages in {dt:.1f}s "
+        f"({len(ran)} units run, {len(done_before)} resumed) -> {args.out}"
+    )
 
 
 if __name__ == "__main__":

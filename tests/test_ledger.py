@@ -47,6 +47,109 @@ def test_ledger_resume_skips_done(spark, tmp_path):
     assert (m["wall_ms"] >= 0).all()
 
 
+def test_resumable_pip_job_crash_resume(spark, tmp_path, monkeypatch):
+    """VERDICT r3 #3: kill the north-star job mid-run, resubmit, and
+    only the unfinished units recompute; the finalized per-area counts
+    equal the straight-through run exactly."""
+    import geo_inference_spark.operators.pip_join as PJ
+    from geo_inference_spark.plans.pip_job import (
+        finalize_pip_job,
+        resumable_pip_job,
+    )
+    from geo_inference_spark.sources.pages import (
+        pages_df,
+        synth_admin_polygons,
+    )
+
+    pages = pages_df(spark, 4000, partitions=8)
+    polys = synth_admin_polygons(n_areas=16)
+    led = CheckpointLedger(spark, str(tmp_path / "ledger"))
+    out = str(tmp_path / "out")
+
+    real = PJ.pages_per_area
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated crash")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(PJ, "pages_per_area", flaky)
+    with pytest.raises(RuntimeError):
+        resumable_pip_job(
+            spark, pages, polys, out, 6, led, "t", n_units=4
+        )
+    # units 0 and 1 committed before the crash
+    assert sorted(led.done("pip_job").toPandas()["part_key"]) == [
+        "t#u0/4", "t#u1/4"
+    ]
+
+    monkeypatch.setattr(PJ, "pages_per_area", real)
+    ran = resumable_pip_job(
+        spark, pages, polys, out, 6, led, "t", n_units=4
+    )
+    assert sorted(ran) == ["t#u2/4", "t#u3/4"]  # only unfinished units
+    assert led.done("pip_job").count() == 4
+
+    got = (
+        finalize_pip_job(spark, out)
+        .orderBy("area_id")
+        .toPandas()
+    )
+    exp = (
+        real(spark, pages, polys, res=6)
+        .orderBy("area_id")
+        .toPandas()
+    )
+    assert got[["area_id", "cnt"]].values.tolist() == (
+        exp[["area_id", "cnt"]].values.tolist()
+    )
+
+
+def test_resumable_pip_job_bucket_units_prune(spark, tmp_path):
+    """With unit_col = the table's physical bucket column, each unit's
+    scan is partition-pruned to that bucket's files."""
+    from geo_inference_spark.plans.pip_job import (
+        finalize_pip_job,
+        resumable_pip_job,
+    )
+    from geo_inference_spark.sources.pages import (
+        pages_df,
+        synth_admin_polygons,
+        write_pages_partitioned,
+    )
+
+    path = str(tmp_path / "pages")
+    col = write_pages_partitioned(spark, 3000, path, n_buckets=4)
+    pages = spark.read.parquet(path)
+    bcol = f"{col}_bkt"
+    # the unit filter IS partition pruning on the bucket directory
+    plan = (
+        pages.filter(F.col(bcol) == 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan and bcol in plan.split(
+        "PartitionFilters"
+    )[1][:120]
+
+    polys = synth_admin_polygons(n_areas=16)
+    led = CheckpointLedger(spark, str(tmp_path / "ledger"))
+    out = str(tmp_path / "out")
+    resumable_pip_job(
+        spark, pages, polys, out, 6, led, "b", n_units=4, unit_col=bcol
+    )
+    got = finalize_pip_job(spark, out).agg(F.sum("cnt")).collect()[0][0]
+    from geo_inference_spark.operators.pip_join import pages_per_area
+
+    exp = (
+        pages_per_area(spark, pages_df(spark, 3000), polys, res=6)
+        .agg(F.sum("cnt"))
+        .collect()[0][0]
+    )
+    assert got == exp
+
+
 def test_partition_lineage_counts(spark):
     df = spark.range(0, 1000, 1, 8)
     lin = partition_lineage(df, "scan").toPandas()

@@ -88,6 +88,33 @@ def test_png_decodes_every_filter_type():
         np.testing.assert_array_equal(pix, a, err_msg=f"filters={filters}")
 
 
+def test_png_wavefront_matches_serial_forge():
+    """The vectorized anti-diagonal unfilter must agree byte-for-byte
+    with this file's independent SERIAL forge encoder on a mixed
+    adaptive-filter image (the r3 per-byte loop is gone — this pins
+    its replacement against an implementation that never changed)."""
+    rng = np.random.RandomState(91)
+    a = rng.randint(0, 256, size=(96, 64, 4)).astype(np.uint8)
+    filters = list(rng.randint(0, 5, size=96))
+    pix = decode_png(_forge_png(a, filters))
+    np.testing.assert_array_equal(pix, a)
+
+
+def test_png_large_paeth_decodes_fast():
+    """A 512x512 RGBA all-Paeth PNG (worst case for the old per-byte
+    loop, ~7 s) decodes through the wavefront in well under a second."""
+    import time
+
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 256, size=(512, 512, 4)).astype(np.uint8)
+    data = encode_png(a, row_filters=4)
+    t0 = time.perf_counter()
+    pix = decode_png(data)
+    dt = time.perf_counter() - t0
+    np.testing.assert_array_equal(pix, a)
+    assert dt < 2.0, f"wavefront unfilter too slow: {dt:.2f}s"
+
+
 def test_png_palette():
     plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
     idx = np.array([[0, 1], [2, 0]], np.uint8)

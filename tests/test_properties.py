@@ -159,6 +159,25 @@ def test_png_roundtrip_property(h, w, c, seed):
 
 
 @given(
+    st.integers(2, 20), st.integers(2, 20), st.sampled_from([1, 3, 4]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_adaptive_filter_roundtrip_property(h, w, c, seed):
+    """PNG with ADAPTIVE per-row filters (the real-world profile —
+    VERDICT r3 #4): encode with a random mix of filters 0-4, decode
+    through the wavefront unfilter, pixel-equal."""
+    from geo_inference_spark.sources.png import decode_png, encode_png
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 256, size=(h, w, c)).astype(np.uint8)
+    filters = rng.randint(0, 5, size=h)
+    np.testing.assert_array_equal(
+        decode_png(encode_png(a, row_filters=filters)), a
+    )
+
+
+@given(
     st.floats(-170, 170, allow_nan=False), st.floats(-80, 80, allow_nan=False),
     st.sampled_from([3857, 2154, 5070, 3035]),
 )
