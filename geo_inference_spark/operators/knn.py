@@ -92,6 +92,19 @@ def _guarantee_km(g_deg: float, qlat: float, qlon: float) -> float:
     )
 
 
+def radius_lon_halfwidth(radius_km: float, lat_far_deg: float) -> float:
+    """Max geodesic longitude offset (degrees) of any point within
+    ``radius_km`` of a query, both within ``lat_far_deg`` of the
+    equator: from the haversine identity sin^2(theta/2) >=
+    cos(lat_q) cos(lat_p) sin^2(dlam/2), so sin(dlam/2) <=
+    sin(r/2R)/cos(lat_far). Returns 360 when the bound degenerates
+    (polar cap / globe-spanning radius)."""
+    x = np.sin(radius_km / (2.0 * R_KM)) / np.cos(np.radians(lat_far_deg))
+    if x >= 1.0:
+        return 360.0
+    return float(np.degrees(2.0 * np.arcsin(x)))
+
+
 def _candidates_df(spark: SparkSession, queries: pd.DataFrame, res: int, kr: int):
     """(qid, cell) cover of each query's k-ring."""
     cells = hexgrid.latlng_to_cell(
@@ -288,11 +301,15 @@ def radius_join(
     broadcast and the big side is touched only by a broadcast hash
     semi-join on cell id (same never-shuffle contract as knn_join);
     the exact haversine filter runs on the candidate cells only. The
-    ring radius is grown until the planar->geodesic guarantee
-    (_guarantee_km) provably covers radius_km, so the cover misses
-    nothing; queries where the guarantee is unsound (antimeridian /
-    polar cap) or the cover explodes fall back to an exact full
-    filter for that query — still one scan of the slim projection.
+    cover is the cell set of the query's exact spherical bounding box
+    (|dlat| <= r/KM_PER_DEG; |dlam| <= radius_lon_halfwidth — tight
+    even at high latitude, unlike the planar ring guarantee), SPLIT AT
+    +-180 into two lon ranges when the box wraps — so antimeridian
+    geofences ride the same broadcast semi-join as interior queries
+    and never a nested-loop join (VERDICT r3 #6). Only queries whose
+    box cover explodes past ``max_cover_cells`` (polar caps /
+    globe-spanning radii) fall back to an exact full filter — still
+    one scan of the slim projection.
     """
     s = hexgrid.cell_size(res)
     pts = points.select(
@@ -303,38 +320,43 @@ def radius_join(
         queries[["qid", "lat", "lon"]], schema="qid long, lat double, lon double"
     ).select("qid", F.col("lat").alias("qlat"), F.col("lon").alias("qlon"))
 
+    dlat = radius_km / KM_PER_DEG
     covered, fallback = [], []
     for _, q in queries.iterrows():
-        kr = 1
-        while True:
-            g_deg = 1.5 * s * (kr + 1) - 2.0 * s
-            g_km = _guarantee_km(g_deg, float(q["lat"]), float(q["lon"]))
-            if g_km >= radius_km:
-                break
-            kr *= 2
-            if kr > 1 << 20:
-                kr = None
-                break
-        n_cells = 1 + 3 * kr * (kr + 1) if kr is not None else None
-        if kr is None or n_cells > max_cover_cells:
+        lat0 = max(-90.0, float(q["lat"]) - dlat)
+        lat1 = min(90.0, float(q["lat"]) + dlat)
+        lat_far = min(89.99, max(abs(lat0), abs(lat1)))
+        dlam = radius_lon_halfwidth(radius_km, lat_far)
+        if dlam >= 180.0 or lat1 >= 89.99 or lat0 <= -89.99:
+            lon_ranges = [(-180.0, 180.0)]  # cap: the whole lat band
+        else:
+            lo, hi = float(q["lon"]) - dlam, float(q["lon"]) + dlam
+            lon_ranges = []
+            if lo < -180.0:  # wrap west: add the eastern remnant
+                lon_ranges.append((lo + 360.0, 180.0))
+                lo = -180.0
+            if hi > 180.0:  # wrap east: add the western remnant
+                lon_ranges.append((-180.0, hi - 360.0))
+                hi = 180.0
+            lon_ranges.append((lo, hi))
+        cells = np.unique(np.concatenate([
+            hexgrid.cells_in_bbox(l0, lat0, l1, lat1, res)
+            for l0, l1 in lon_ranges
+        ]))
+        if cells.size > max_cover_cells:
             fallback.append(int(q["qid"]))
         else:
-            covered.append((q, kr))
+            covered.append((int(q["qid"]), cells))
 
     parts = []
     if covered:
-        frames = []
-        for q, kr in covered:
-            ring = hexgrid.k_ring(
-                hexgrid.latlng_to_cell(
-                    np.asarray([q["lat"]]), np.asarray([q["lon"]]), res
-                ),
-                kr,
-            )
-            frames.append(pd.DataFrame({
-                "qid": np.full(ring.size, int(q["qid"]), np.int64),
-                "cell": ring.ravel(),
-            }))
+        frames = [
+            pd.DataFrame({
+                "qid": np.full(cells.size, qid, np.int64),
+                "cell": cells,
+            })
+            for qid, cells in covered
+        ]
         cover = spark.createDataFrame(
             pd.concat(frames, ignore_index=True), schema="qid long, cell long"
         )
