@@ -163,6 +163,46 @@ def _np_dtype(bits: int, sample_format: int, bo: str) -> np.dtype:
 _COMP_IDS = {None: 1, "none": 1, "lzw": 5, "deflate": 8}
 
 
+def _fp_predict(block: np.ndarray) -> bytes:
+    """TIFF predictor 3 (TechNote 3 floating-point horizontal
+    differencing) for one strip/tile: per row, split values into
+    big-endian byte planes (all MSBs first), then byte-wise difference
+    with stride = samples-per-pixel — floats become long runs of
+    near-zero bytes that LZW/deflate actually compress."""
+    rows, w, bands = block.shape
+    bps = block.dtype.itemsize
+    be = block.astype(f">f{bps}")
+    vb = np.frombuffer(be.tobytes(), np.uint8).reshape(rows, w * bands, bps)
+    planes = np.ascontiguousarray(vb.transpose(0, 2, 1)).reshape(
+        rows, w * bps, bands
+    )
+    d = planes.astype(np.int16)
+    d[:, 1:, :] -= planes[:, :-1, :].astype(np.int16)
+    return (d & 0xFF).astype(np.uint8).tobytes()
+
+
+def _fp_unpredict(
+    raw: bytes, rows: int, w: int, bands: int, dt: np.dtype
+) -> np.ndarray:
+    """Inverse of _fp_predict: byte-wise cumsum (stride = samples per
+    pixel) then gather each value's bytes from the MSB-first planes.
+    Truncated final segments are zero-padded like the int path."""
+    bps = dt.itemsize
+    n = w * bands * bps
+    need = rows * n
+    if len(raw) < need:
+        raw = raw + b"\0" * (need - len(raw))
+    u8 = np.frombuffer(raw, np.uint8, need).reshape(rows, n)
+    cum = (
+        np.cumsum(u8.reshape(rows, w * bps, bands), axis=1, dtype=np.int64)
+        & 0xFF
+    ).astype(np.uint8)
+    planes = cum.reshape(rows, bps, w * bands)
+    vb = np.ascontiguousarray(planes.transpose(0, 2, 1))
+    vals = np.frombuffer(vb.tobytes(), np.dtype(f">f{bps}"))
+    return vals.reshape(rows, w, bands).astype(dt.newbyteorder("="))
+
+
 def write_geotiff(
     arr: np.ndarray,
     path: str,
@@ -170,12 +210,17 @@ def write_geotiff(
     epsg: int | None = 4326,
     rows_per_strip: int = 64,
     compression: str | None = None,
+    predictor: int | None = None,
 ) -> None:
     """(bands, H, W) or (H, W) -> striped GeoTIFF (LE, pixel-
     interleaved; compression None/'lzw'/'deflate' — the reference's
     mask profile is LZW, helpers.py:289-300). transform is the affine
     (a, b, c, d, e, f) with x = a*col + b*row + c — only north-up
-    (b == d == 0) is expressible via PixelScale+Tiepoint."""
+    (b == d == 0) is expressible via PixelScale+Tiepoint.
+
+    predictor: None (default), 2 (horizontal differencing, int
+    samples) or 3 (TechNote 3 float byte-shuffle differencing, float
+    samples — the profile real geo rasters use for f32 DEMs/masks)."""
     a = np.asarray(arr)
     if a.ndim == 2:
         a = a[None, :, :]
@@ -192,10 +237,25 @@ def write_geotiff(
         fmt, bits = 2, a.dtype.itemsize * 8
     else:
         fmt, bits = 1, a.dtype.itemsize * 8
+    if predictor not in (None, 1, 2, 3):
+        raise ValueError("predictor must be None, 2 or 3")
+    if predictor == 2 and a.dtype.kind == "f":
+        raise ValueError("predictor 2 is for int samples; use 3 for float")
+    if predictor == 3 and a.dtype.kind != "f":
+        raise ValueError("predictor 3 is for float samples; use 2 for int")
     pix = np.ascontiguousarray(np.moveaxis(a, 0, -1))  # (H, W, bands)
+    mask = (1 << bits) - 1
     strips = []
     for y0 in range(0, h, rows_per_strip):
-        raw = pix[y0 : y0 + rows_per_strip].tobytes()
+        block = pix[y0 : y0 + rows_per_strip]
+        if predictor == 2:
+            d = block.astype(np.int64)
+            d[:, 1:, :] -= block[:, :-1, :].astype(np.int64)
+            raw = (d & mask).astype(block.dtype).tobytes()
+        elif predictor == 3:
+            raw = _fp_predict(block)
+        else:
+            raw = block.tobytes()
         if comp_id == 5:
             raw = lzw_encode(raw)
         elif comp_id == 8:
@@ -223,6 +283,8 @@ def write_geotiff(
     short(T_ROWS_PER_STRIP, rows_per_strip)
     entries.append((T_STRIP_COUNTS, 4, len(strips), None))
     short(T_PLANAR, 1)
+    if predictor in (2, 3):
+        short(T_PREDICTOR, predictor)
     entries.append(
         (T_SAMPLE_FORMAT, 3, bands,
          struct.pack(f"<{bands}H", *([fmt] * bands)).ljust(4, b"\0"))
@@ -394,7 +456,7 @@ def geotiff_index(path: str) -> dict:
             "(this codec reads none/LZW/deflate)"
         )
     predictor = t.get(T_PREDICTOR, (1,))[0]
-    if predictor not in (1, 2):
+    if predictor not in (1, 2, 3):
         raise ValueError(f"TIFF predictor {predictor} not supported")
     if t.get(T_PLANAR, (1,))[0] != 1:
         raise ValueError("only contiguous planar config supported")
@@ -531,6 +593,15 @@ def _read_ifd(buf: bytes, bo: str, big: bool = False):
 def _decode_segment(buf, off, cnt, comp, dt, n_vals, shape, predictor):
     """One strip/tile -> (rows, width, bands) array, decompressed and
     un-predicted. Truncated final segments are zero-padded."""
+    if predictor == 3:
+        # byte-shuffled stream: must un-predict at the byte level
+        # BEFORE interpreting values
+        raw = bytes(buf[off : off + cnt])
+        if comp == 5:
+            raw = lzw_decode(raw)
+        elif comp in (8, 32946):
+            raw = zlib.decompress(raw)
+        return _fp_unpredict(raw, *shape, dt)
     if comp == 1:
         seg = np.frombuffer(buf, dt, count=n_vals, offset=off)
     else:
@@ -581,7 +652,7 @@ def read_geotiff(path: str):
             "(this codec reads none/LZW/deflate)"
         )
     predictor = t.get(T_PREDICTOR, (1,))[0]
-    if predictor not in (1, 2):
+    if predictor not in (1, 2, 3):
         raise ValueError(f"TIFF predictor {predictor} not supported")
     if t.get(T_PLANAR, (1,))[0] != 1:
         raise ValueError("only contiguous planar config supported")

@@ -446,6 +446,95 @@ def test_geotiff_reader_lzw_predictor2(tmp_path):
             )
 
 
+def test_geotiff_float_predictor3(tmp_path):
+    """TIFF predictor 3 (TechNote 3 float horizontal differencing) —
+    write+read across f32/f64, LZW/deflate, 1/3 bands, truncated final
+    strips (VERDICT r3 #7); plus a hand-computed byte golden pinning
+    the MSB-first plane order (a symmetric encode/decode bug would
+    roundtrip but break spec interop)."""
+    import numpy as np
+
+    from geo_inference_spark.sources.tiff import (
+        _fp_predict,
+        read_geotiff,
+        write_geotiff,
+    )
+
+    # golden: [1.0, 2.0] f32 -> BE bytes 3F800000 40000000 ->
+    # planes 3F 40 | 80 00 | 00 00 | 00 00 -> diff(stride 1)
+    got = _fp_predict(np.array([[[1.0], [2.0]]], dtype=np.float32))
+    assert got == bytes.fromhex("3f014080 00000000".replace(" ", ""))
+
+    rng = np.random.RandomState(31)
+    for dtype in (np.float32, np.float64):
+        for comp in ("lzw", "deflate"):
+            for bands in (1, 3):
+                a = rng.uniform(-1e3, 1e3, size=(bands, 45, 37)).astype(dtype)
+                fp = str(tmp_path / f"p3_{np.dtype(dtype).name}_{comp}_{bands}.tif")
+                write_geotiff(a, fp, compression=comp, predictor=3,
+                              rows_per_strip=16)
+                got_a, meta = read_geotiff(fp)
+                np.testing.assert_array_equal(got_a.astype(dtype), a)
+
+    # predictor 3 actually helps: smooth f32 raster compresses smaller
+    import os
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    smooth = (np.sin(yy / 9.0) + np.cos(xx / 7.0)).astype(np.float32)[None]
+    write_geotiff(smooth, str(tmp_path / "nop.tif"), compression="lzw")
+    write_geotiff(smooth, str(tmp_path / "p3.tif"), compression="lzw",
+                  predictor=3)
+    assert os.path.getsize(str(tmp_path / "p3.tif")) < os.path.getsize(
+        str(tmp_path / "nop.tif")
+    )
+
+
+def test_geotiff_writer_predictor2_int(tmp_path):
+    """Writer-side predictor 2 (int horizontal differencing) for
+    uint8/16/32 with wraparound, read back by the existing cumsum."""
+    import numpy as np
+
+    from geo_inference_spark.sources.tiff import read_geotiff, write_geotiff
+
+    rng = np.random.RandomState(32)
+    for dtype in (np.uint8, np.uint16, np.int32):
+        a = rng.randint(0, 200, size=(2, 40, 31)).astype(dtype)
+        fp = str(tmp_path / f"p2_{np.dtype(dtype).name}.tif")
+        write_geotiff(a, fp, compression="lzw", predictor=2,
+                      rows_per_strip=16)
+        got, _ = read_geotiff(fp)
+        np.testing.assert_array_equal(got.astype(dtype), a)
+
+
+def test_geotiff_distributed_scan_predictor3(spark, tmp_path):
+    """The executor-side windowed scan decodes predictor-3 LZW floats
+    identically to the driver full read."""
+    import numpy as np
+
+    from geo_inference_spark.operators.overlap import bytes_to_np
+    from geo_inference_spark.sources.tiff import (
+        read_geotiff,
+        read_geotiff_chunks_distributed,
+        write_geotiff,
+    )
+
+    rng = np.random.RandomState(33)
+    a = rng.uniform(-500, 500, size=(2, 37, 29)).astype(np.float32)
+    fp = str(tmp_path / "p3d.tif")
+    write_geotiff(a, fp, compression="lzw", predictor=3, rows_per_strip=16)
+    full, _ = read_geotiff(fp)
+    chunks, ny, nx, meta = read_geotiff_chunks_distributed(spark, fp, 8)
+    got = {(r.ty, r.tx): bytes_to_np(bytes(r.chunk), (2, 8, 8))
+           for r in chunks.collect()}
+    assert len(got) == ny * nx
+    for (ty, tx), chunk in got.items():
+        y0, x0 = ty * 8, tx * 8
+        ys, xs = min(8, 37 - y0), min(8, 29 - x0)
+        np.testing.assert_array_equal(
+            chunk[:, :ys, :xs], full[:, y0:y0 + ys, x0:x0 + xs]
+        )
+
+
 def test_geotiff_reader_bigtiff(tmp_path):
     """BigTIFF (magic 43, 8-byte offsets, LONG8 strip tags), both byte
     orders, LZW-compressed — the reference's container format."""
