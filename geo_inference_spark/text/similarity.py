@@ -727,12 +727,17 @@ def ivf_topk(
         F.col(id_col).alias("id"), "_v", "_n",
         assign(F.col(vec_col)).alias("list"),
     )
-    qp = queries.toPandas()
+    return _ivf_refine(spark, base, queries, cents, k, n_probe,
+                       qid_col, qvec_col)
+
+
+def _ivf_probes(cents: np.ndarray, qp: pd.DataFrame, n_probe: int,
+                qid_col: str, qvec_col: str) -> list[tuple[int, int]]:
+    """(qid, list) probe pairs: same sequential fold as ivf_assign_udf
+    / the SQL twin; probe order ties broken by centroid index (stable
+    argsort == the oracle's ORDER BY d DESC, idx)."""
     probes = []
     for _, row in qp.iterrows():
-        # same sequential fold as ivf_assign_udf / the SQL twin; probe
-        # order ties broken by centroid index (stable argsort == the
-        # oracle's ORDER BY d DESC, idx)
         v = np.asarray(row[qvec_col], dtype=np.float64)
         d = np.zeros(len(cents))
         for j in range(cents.shape[1]):
@@ -740,6 +745,23 @@ def ivf_topk(
         order = np.argsort(-d, kind="stable")[:n_probe]
         for c in order:
             probes.append((int(row[qid_col]), int(c)))
+    return probes
+
+
+def _ivf_refine(
+    spark: SparkSession,
+    base: DataFrame,
+    queries: DataFrame,
+    cents: np.ndarray,
+    k: int,
+    n_probe: int,
+    qid_col: str,
+    qvec_col: str,
+) -> DataFrame:
+    """Probe join + exact cosine re-rank shared by the inline and the
+    physical-layout IVF paths."""
+    qp = queries.toPandas()
+    probes = _ivf_probes(cents, qp, n_probe, qid_col, qvec_col)
     probe_df = spark.createDataFrame(probes, schema="qid long, list long")
     q = _with_norm(
         queries.withColumnRenamed(qvec_col, "embedding"), "embedding"
@@ -765,6 +787,75 @@ def ivf_topk(
         .select("qid", "id", "cos", "rn")
         .orderBy("qid", "rn")
     )
+
+
+def write_ivf_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    train_rows: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> np.ndarray:
+    """Materialize the IVF PHYSICAL layout: embeddings written
+    ``partitionBy(list)`` (the parquet stand-in for an Iceberg table
+    partitioned on the list id) with the trained centroids in a JSON
+    sidecar, so readers probe without retraining. This turns the
+    "n_probe/n_lists IS the scan fraction" claim into a pinned plan
+    property: a probe scan filters on the partition column and reads
+    only the probed lists' files (VERDICT r3 #8)."""
+    import json
+
+    train = np.stack(
+        emb.filter(F.col(id_col) < train_rows)
+        .orderBy(id_col)
+        .select(vec_col)
+        .toPandas()[vec_col]
+        .to_numpy()
+    ).astype(np.float64)
+    cents = _kmeans_centroids(train, n_lists, seed=seed)
+    assign = ivf_assign_udf(cents)
+    emb.withColumn("list", assign(F.col(vec_col))).write.mode(
+        "overwrite"
+    ).partitionBy("list").parquet(path)
+    with open(f"{path}/_ivf_centroids.json", "w") as f:
+        json.dump(cents.tolist(), f)
+    return cents
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF ANN over the physical layout written by write_ivf_index.
+    The union of all probed lists becomes a LITERAL isin filter on the
+    partition column, so the scan's PartitionFilters prunes to
+    n_probe/n_lists of the files BEFORE any row is read — the
+    source-level analogue of the inline path's broadcast probe join
+    (which still runs afterwards for per-query pairing)."""
+    import json
+
+    with open(f"{path}/_ivf_centroids.json") as f:
+        cents = np.asarray(json.load(f), dtype=np.float64)
+    qp = queries.toPandas()
+    probe_lists = sorted(
+        {c for _, c in _ivf_probes(cents, qp, n_probe, qid_col, qvec_col)}
+    )
+    emb = spark.read.parquet(path).filter(F.col("list").isin(probe_lists))
+    base = _with_norm(emb, vec_col).select(
+        F.col(id_col).alias("id"), "_v", "_n", "list"
+    )
+    return _ivf_refine(spark, base, queries, cents, k, n_probe,
+                       qid_col, qvec_col)
 
 
 def ivf_topk_oracle_sql(

@@ -287,3 +287,43 @@ def test_ivf_topk_recall_clustered(spark):
     # exact re-rank: the returned cos of overlapping ids matches
     m = approx.merge(exact, on=["qid", "id"], suffixes=("_a", "_e"))
     assert (m.cos_a == m.cos_e).all()
+
+
+def test_ivf_physical_layout_prunes_and_matches(spark, emb, tmp_path):
+    """VERDICT r3 #8: the IVF list id as PHYSICAL partition key. The
+    probe scan's PartitionFilters must prune to the probed lists'
+    files (n_probe/n_lists of the layout), and the result must equal
+    the inline ivf_topk bit-for-bit (same centroids, same refine)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from geo_inference_spark.text.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(spark, emb, path, n_lists=16)
+    # one directory per list — the Iceberg-partition stand-in
+    dirs = [d for d in os.listdir(path) if d.startswith("list=")]
+    assert 2 <= len(dirs) <= 16
+
+    q = embedding_queries(emb, n=4)
+    out = ivf_topk_indexed(spark, path, q, k=5, n_probe=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    tail = line.split("PartitionFilters:")[1]
+    assert "list" in tail and "[]" not in tail[:30]
+
+    got = out.toPandas()
+    exp = ivf_topk(spark, emb, q, k=5, n_lists=16, n_probe=3).toPandas()
+    assert got.values.tolist() == exp.values.tolist()
+
+    # scan fraction: the pruned scan reads at most the probed lists
+    probed = spark.read.parquet(path).filter(
+        F.col("list").isin([int(d.split("=")[1]) for d in dirs][:3])
+    )
+    assert probed.count() < emb.count()

@@ -232,3 +232,65 @@ def test_dedup_stream_equals_batch_distinct(spark, tmp_path):
     # and it really deduped: planted dups collapsed
     assert len(got) == len(base["text"].unique())
     q.stop()
+
+
+def test_dedup_stream_checkpoint_crash_resume(spark, tmp_path):
+    """VERDICT r3 #9: kill the dedup stream between micro-batches and
+    restart from the same checkpointLocation — no duplicate emissions,
+    no loss, and the dedup STATE survives the restart (a post-restart
+    duplicate of a pre-restart text is still dropped)."""
+    import pandas as pd
+
+    from geo_inference_spark.streaming import dedup_stream
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    base = pages_df(spark, 400, partitions=2).toPandas()
+
+    def run_until_drained():
+        stream = read_pages_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            dedup_stream(stream, watermark="40 days")
+            .select("page_id", "text_hash", "warc_ts")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # phase 1: first 250 pages land, stream drains, then "crashes"
+    spark.createDataFrame(base.iloc[:250]).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    run_until_drained()
+    n_phase1 = spark.read.parquet(sink).count()
+    assert n_phase1 == len(base.iloc[:250]["text"].unique())
+
+    # phase 2 arrives while down: 150 new pages + 100 re-crawled
+    # duplicates of phase-1 texts under fresh ids
+    dups = base.iloc[:100].copy()
+    dups["page_id"] = dups["page_id"] + 50_000
+    spark.createDataFrame(
+        pd.concat([base.iloc[250:], dups], ignore_index=True)
+    ).repartition(4).write.mode("append").parquet(src)
+
+    # restart from the same checkpoint: only new files are read, and
+    # the cross-restart duplicates are dropped by the restored state
+    run_until_drained()
+    got = spark.read.parquet(sink).toPandas()
+    batch_distinct = set(
+        spark.read.parquet(src)
+        .select(F.md5(F.col("text")).alias("h"))
+        .distinct()
+        .toPandas()["h"]
+    )
+    assert sorted(got["text_hash"]) == sorted(batch_distinct)  # no dupe, no loss
+    assert len(got) == len(got["text_hash"].unique())
+    # state really survived: phase-2 emitted only the genuinely new texts
+    assert len(got) - n_phase1 == len(
+        set(base.iloc[250:]["text"]) - set(base.iloc[:250]["text"])
+    )
