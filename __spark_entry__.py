@@ -299,6 +299,106 @@ def _top_tokens_oracle() -> str:
     """
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based corpus sampling (the training-data
+    curation primitive): keep a doc iff its md5(text) hex prefix
+    falls under the rate threshold — reproducible across engines,
+    cluster sizes and reruns, no RNG state. '1a' = 26/256 ~ 10.2%.
+    Verified per-lang by kept count, char mass and id extremes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.filter(F.substring(F.md5(F.col("text")), 1, 2) < "1a")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment by content hash
+    ('e6' ~ 89.8% / 'f3' ~ 94.9% boundaries): the same doc always
+    lands in the same split, and exact duplicates land TOGETHER (the
+    split key is the text hash, so a dup can never leak train->test —
+    the leakage guard real pipelines need)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.substring(F.md5(F.col("text")), 1, 2)
+    split = (
+        F.when(h < "e6", F.lit("train"))
+        .when(h < "f3", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+def q_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-3 tokens by tf-idf (idf over the language
+    corpora): the distinguishing-term extraction job. tf and df
+    partial-aggregate below their shuffles; the df side is one tiny
+    (word -> lang count) frame joined back broadcast."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_langs = docs.select("lang").distinct().count()  # tiny driver scalar
+    words = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
+    df_ = tf.groupBy("word").agg(
+        F.countDistinct("lang").alias("df")
+    )
+    scored = tf.join(F.broadcast(df_), "word").withColumn(
+        "tfidf",
+        F.round(F.col("n") * F.log(F.lit(float(n_langs)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("tfidf"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "word", "tfidf", "rn")
+        .orderBy("lang", "rn")
+    )
+
+
+def _tfidf_top_oracle() -> str:
+    return """
+        WITH words AS (
+          SELECT lang, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+          FROM documents
+        ), tf AS (
+          SELECT lang, word, count(*) AS n FROM words
+          WHERE word <> '' GROUP BY lang, word
+        ), df AS (
+          SELECT word, count(DISTINCT lang) AS df FROM tf GROUP BY word
+        ), nl AS (SELECT count(DISTINCT lang) AS n_langs FROM documents)
+        SELECT lang, word,
+               round(n * ln(CAST(n_langs AS DOUBLE) / df), 6) AS tfidf,
+               CAST(row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY round(n * ln(CAST(n_langs AS DOUBLE) / df), 6) DESC,
+                          word
+               ) AS INT) AS rn
+        FROM tf JOIN df USING (word), nl
+        QUALIFY rn <= 3
+        ORDER BY lang, rn
+    """
+
+
 def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact length quantiles per language — Spark's `percentile`
     (exact, linear interpolation at rank p*(n-1)) == DuckDB's
@@ -811,6 +911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q_fingerprints,
         "text_length_quantiles": q_length_quantiles,
         "text_top_tokens": q_top_tokens,
+        "text_sample_stratified": q_sample_stratified,
+        "text_split_assign": q_split_assign,
+        "text_tfidf_top": q_tfidf_top,
         "dedup_keep_best": q_dedup_keep_best,
         "ann_cosine_topk": q_cosine_topk,
         "ann_cosine_pairs": q_cosine_pairs,
@@ -837,6 +940,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q4_priority_semi_join": R.q4_priority_semi_join,
         "rel_top_orders_per_customer": R.q_top_orders_per_customer,
         "rel_rollup_region_nation": R.q_rollup_region_nation,
+        "rel_q7_nation_trade": R.q7_nation_trade_volume,
+        "rel_q19_disjunctive": R.q19_disjunctive_revenue,
+        "events_retention": R.q_user_retention,
     }
 
 
@@ -924,6 +1030,24 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_length_quantiles": _length_quantiles_oracle(),
         "text_top_tokens": _top_tokens_oracle(),
+        "text_sample_stratified": """
+            SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM documents WHERE substring(md5(text), 1, 2) < '1a'
+            GROUP BY lang ORDER BY lang
+        """,
+        "text_split_assign": """
+            WITH s AS (
+              SELECT lang, n_chars,
+                     CASE WHEN substring(md5(text), 1, 2) < 'e6' THEN 'train'
+                          WHEN substring(md5(text), 1, 2) < 'f3' THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents
+            )
+            SELECT lang, split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM s GROUP BY lang, split ORDER BY lang, split
+        """,
+        "text_tfidf_top": _tfidf_top_oracle(),
         "dedup_keep_best": _dedup_keep_best_oracle(),
         "ann_cosine_topk": cosine_topk_oracle_sql(n_queries=4, k=5),
         "ann_cosine_pairs": cosine_pairs_oracle_sql(threshold=0.4),
@@ -1010,4 +1134,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_q4_priority_semi_join": R.Q4_ORACLE,
         "rel_top_orders_per_customer": R.TOP_ORDERS_ORACLE,
         "rel_rollup_region_nation": R.ROLLUP_ORACLE,
+        "rel_q7_nation_trade": R.Q7_ORACLE,
+        "rel_q19_disjunctive": R.Q19_ORACLE,
+        "events_retention": R.RETENTION_ORACLE,
     }

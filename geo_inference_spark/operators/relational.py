@@ -260,3 +260,124 @@ WHERE EXISTS (
 )
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between two nations per ship
+    year, with the supplier nation and customer nation resolved
+    through two separate broadcast copies of the nation dim — the
+    classic self-aliased dimension pattern."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), supp["s_nationkey"] == n1["sn_key"])
+        .join(F.broadcast(n2), cust["c_nationkey"] == n2["cn_key"])
+        .filter(
+            ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_10"))
+            | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_9"))
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(F.round(F.sum(rev), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+   OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9')
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across the lineitem ⋈
+    part join — the disjunctive-pushdown stress shape (each disjunct
+    constrains both sides; Catalyst extracts the common l/p bounds
+    below the join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).filter(
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 10)
+            & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size") <= 25)
+            & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 40)
+        )
+    )
+    return j.agg(
+        F.round(F.sum(rev), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q19_ORACLE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size <= 25
+       AND l_quantity BETWEEN 10 AND 40)
+"""
+
+
+def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention: users active on day d who return on
+    d+1 — the cohort shape (distinct (user, day) self-join on the
+    shifted day). One dedup shuffle + one equi-join on (user, day)."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("user_id"), F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    nxt = du.select(
+        F.col("user_id"),
+        (F.col("d") - F.expr("INTERVAL 1 DAY")).alias("d"),
+    )
+    return (
+        du.join(nxt, ["user_id", "d"])
+        .groupBy(F.col("d").alias("day"))
+        .agg(F.count(F.lit(1)).alias("retained_users"))
+        .orderBy("day")
+    )
+
+
+RETENTION_ORACLE = """
+WITH du AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+SELECT a.d AS day, count(*) AS retained_users
+FROM du a JOIN du b ON b.user_id = a.user_id AND b.d = a.d + INTERVAL 1 DAY
+GROUP BY 1 ORDER BY day
+"""

@@ -11,7 +11,7 @@ SF = "/root/testdata/sf0.01"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in "region nation customer supplier part orders lineitem".split():
+    for t in "region nation customer supplier part orders lineitem events".split():
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     return c
 
@@ -24,8 +24,12 @@ def con():
         (R.q5_local_supplier_volume, R.Q5_ORACLE),
         (R.q_top_orders_per_customer, R.TOP_ORDERS_ORACLE),
         (R.q_rollup_region_nation, R.ROLLUP_ORACLE),
+        (R.q7_nation_trade_volume, R.Q7_ORACLE),
+        (R.q19_disjunctive_revenue, R.Q19_ORACLE),
+        (R.q_user_retention, R.RETENTION_ORACLE),
     ],
-    ids=["q1", "q3", "q5", "top_orders", "rollup"],
+    ids=["q1", "q3", "q5", "top_orders", "rollup", "q7", "q19",
+         "retention"],
 )
 def test_relational_matches_oracle(spark, con, fn, oracle):
     got = fn(spark, SF).toPandas()
@@ -43,3 +47,13 @@ def test_q3_is_top10_sorted(spark):
     assert len(rows) == 10
     revs = [r.revenue for r in rows]
     assert revs == sorted(revs, reverse=True)
+
+
+def test_q7_q19_plans_broadcast_no_cartesian(spark):
+    """Q7's five dims broadcast (two self-aliased nation copies) and
+    Q19's OR-of-ANDs never degrade to a nested-loop/cartesian plan."""
+    for fn in (R.q7_nation_trade_volume, R.q19_disjunctive_revenue):
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
