@@ -59,39 +59,6 @@ def _dist_col(metric: str) -> F.Column:
     raise ValueError(f"unknown metric {metric!r}")
 
 
-def _guarantee_km(g_deg: float, qlat: float, qlon: float) -> float:
-    """Conservative haversine lower bound for any point whose planar
-    lon/lat distance is >= g_deg from a query at (qlat, qlon).
-
-    Case split on the point's displacement (dphi, dlam),
-    sqrt(dphi^2 + dlam^2) >= g: either |dphi| >= g/sqrt(2) (distance
-    >= KM*|dphi| — meridional distance is wrap-immune), or
-    |dlam| >= g/sqrt(2) with the point's latitude within
-    qlat +- g/sqrt(2), where the central angle satisfies
-    sin(theta/2) >= cos(lat_max) * sin(dlam_geo/2) and the 2/pi factor
-    absorbs the sin linearization.
-
-    Domain guards (ADVICE r2): the hexgrid cover is planar, so a point
-    across the antimeridian is planar-far yet geodesically near. When
-    the query is >= g_deg of longitude from +-180, every wrap point
-    has geodesic dlam_geo = (180-|qlon|) + (180-|plon|) >= g_deg, so
-    the case-2 bound covers wrap points too; any closer to the line —
-    or when the latitude band reaches the polar cap, where cos(b) no
-    longer bounds anything — the planar exclusion is unsound and this
-    returns -inf: the query never early-terminates and falls through
-    to the exact bounded fallback. Conservative bounds only cost extra
-    rounds; exactness is guaranteed regardless by the fallback."""
-    b = abs(qlat) + g_deg / np.sqrt(2.0)
-    if b >= 89.99 or (180.0 - abs(qlon)) < g_deg:
-        return float("-inf")
-    return (
-        KM_PER_DEG
-        * np.cos(np.radians(b))
-        * (g_deg / np.sqrt(2.0))
-        * (2.0 / np.pi)
-    )
-
-
 def radius_lon_halfwidth(radius_km: float, lat_far_deg: float) -> float:
     """Max geodesic longitude offset (degrees) of any point within
     ``radius_km`` of a query, both within ``lat_far_deg`` of the
@@ -121,6 +88,39 @@ def _candidates_df(spark: SparkSession, queries: pd.DataFrame, res: int, kr: int
     return spark.createDataFrame(pdf, schema="qid long, cell long")
 
 
+def _box_cover_cells(
+    qlat: float, qlon: float, radius_km: float, res: int
+) -> np.ndarray:
+    """Cell cover of the exact spherical bounding box of a
+    radius_km disc around (qlat, qlon): |dlat| <= r/KM_PER_DEG and
+    geodesic |dlam| <= radius_lon_halfwidth (tight at high latitude),
+    SPLIT AT +-180 into two lon ranges when the box wraps — so every
+    point within radius_km lies in a returned cell, for any query
+    including antimeridian and polar ones (polar caps degrade to the
+    whole latitude band, still a valid cover)."""
+    dlat = radius_km / KM_PER_DEG
+    lat0 = max(-90.0, qlat - dlat)
+    lat1 = min(90.0, qlat + dlat)
+    lat_far = min(89.99, max(abs(lat0), abs(lat1)))
+    dlam = radius_lon_halfwidth(radius_km, lat_far)
+    if dlam >= 180.0 or lat1 >= 89.99 or lat0 <= -89.99:
+        lon_ranges = [(-180.0, 180.0)]  # cap: the whole lat band
+    else:
+        lo, hi = qlon - dlam, qlon + dlam
+        lon_ranges = []
+        if lo < -180.0:  # wrap west: add the eastern remnant
+            lon_ranges.append((lo + 360.0, 180.0))
+            lo = -180.0
+        if hi > 180.0:  # wrap east: add the western remnant
+            lon_ranges.append((-180.0, hi - 360.0))
+            hi = 180.0
+        lon_ranges.append((lo, hi))
+    return np.unique(np.concatenate([
+        hexgrid.cells_in_bbox(l0, lat0, l1, lat1, res)
+        for l0, l1 in lon_ranges
+    ]))
+
+
 def knn_join(
     spark: SparkSession,
     points: DataFrame,
@@ -140,10 +140,16 @@ def knn_join(
     queries: pandas (qid, lat, lon). Ties broken by id for full
     determinism (matches the oracle's ORDER BY dist, id).
 
-    metric: 'planar' (lon/lat degrees — the hexgrid's own plane) or
-    'haversine' (great-circle km — the geodesically correct answer a
-    real user wants at high latitude, where planar east-west distances
-    inflate ~1/cos(lat); same SQL in the DuckDB oracle).
+    metric: 'planar' (lon/lat degrees — the hexgrid's own plane;
+    k-ring escalation with the planar guarantee radius) or 'haversine'
+    (great-circle km — the geodesically correct answer a real user
+    wants at high latitude; escalation = radius-doubling spherical-box
+    covers, whose guarantee is the radius ITSELF: every point within
+    r km is inside the cover, so >= k hits within r are exact. The box
+    splits at +-180 and degrades to the full latitude band at the
+    poles, so antimeridian and high-latitude queries stay on the
+    broadcast cover path instead of the fallback — round-4 upgrade
+    over the planar-guarantee -inf routing).
     """
     s = hexgrid.cell_size(res)
     # persist the geocoded projection: every escalation round (and the
@@ -157,10 +163,31 @@ def knn_join(
     remaining = queries[["qid", "lat", "lon"]].copy()
     results: list = []
     kr = kr0
+    r_km = 2.0 * s * KM_PER_DEG * kr0  # ~2 cells of geodesic radius
+    max_cover_cells = 200_000
     for _ in range(max_rounds):
         if remaining.empty:
             break
-        cand = _candidates_df(spark, remaining, res, kr)
+        if metric == "planar":
+            cand = _candidates_df(spark, remaining, res, kr)
+        else:
+            frames = []
+            for _, q in remaining.iterrows():
+                cells = _box_cover_cells(
+                    float(q["lat"]), float(q["lon"]), r_km, res
+                )
+                if cells.size > max_cover_cells:
+                    continue  # no cover this round -> survives to fallback
+                frames.append(pd.DataFrame({
+                    "qid": np.full(cells.size, int(q["qid"]), np.int64),
+                    "cell": cells,
+                }))
+            if not frames:
+                break  # every remaining cover explodes: fallback
+            cand = spark.createDataFrame(
+                pd.concat(frames, ignore_index=True),
+                schema="qid long, cell long",
+            )
         qmeta = spark.createDataFrame(
             remaining, schema="qid long, lat double, lon double"
         ).select(
@@ -178,23 +205,17 @@ def knn_join(
             .select("qid", "id", "dist", "rn")
         )
         got = topk.toPandas()
-        g_deg = 1.5 * s * (kr + 1) - 2.0 * s
-        qlat_of = dict(zip(remaining["qid"], remaining["lat"]))
-        qlon_of = dict(zip(remaining["qid"], remaining["lon"]))
+        guarantee = (
+            1.5 * s * (kr + 1) - 2.0 * s if metric == "planar" else r_km
+        )
         done_ids = []
         for qid, grp in got.groupby("qid"):
-            guarantee = (
-                g_deg
-                if metric == "planar"
-                else _guarantee_km(
-                    g_deg, float(qlat_of[qid]), float(qlon_of[qid])
-                )
-            )
             if len(grp) >= k and grp["dist"].max() <= guarantee:
                 done_ids.append(qid)
                 results.append(grp)
         remaining = remaining[~remaining["qid"].isin(done_ids)]
         kr *= 2
+        r_km *= 2.0
     else:
         if not remaining.empty:
             # final fallback for stragglers (rare: queries in
@@ -320,29 +341,11 @@ def radius_join(
         queries[["qid", "lat", "lon"]], schema="qid long, lat double, lon double"
     ).select("qid", F.col("lat").alias("qlat"), F.col("lon").alias("qlon"))
 
-    dlat = radius_km / KM_PER_DEG
     covered, fallback = [], []
     for _, q in queries.iterrows():
-        lat0 = max(-90.0, float(q["lat"]) - dlat)
-        lat1 = min(90.0, float(q["lat"]) + dlat)
-        lat_far = min(89.99, max(abs(lat0), abs(lat1)))
-        dlam = radius_lon_halfwidth(radius_km, lat_far)
-        if dlam >= 180.0 or lat1 >= 89.99 or lat0 <= -89.99:
-            lon_ranges = [(-180.0, 180.0)]  # cap: the whole lat band
-        else:
-            lo, hi = float(q["lon"]) - dlam, float(q["lon"]) + dlam
-            lon_ranges = []
-            if lo < -180.0:  # wrap west: add the eastern remnant
-                lon_ranges.append((lo + 360.0, 180.0))
-                lo = -180.0
-            if hi > 180.0:  # wrap east: add the western remnant
-                lon_ranges.append((-180.0, hi - 360.0))
-                hi = 180.0
-            lon_ranges.append((lo, hi))
-        cells = np.unique(np.concatenate([
-            hexgrid.cells_in_bbox(l0, lat0, l1, lat1, res)
-            for l0, l1 in lon_ranges
-        ]))
+        cells = _box_cover_cells(
+            float(q["lat"]), float(q["lon"]), radius_km, res
+        )
         if cells.size > max_cover_cells:
             fallback.append(int(q["qid"]))
         else:

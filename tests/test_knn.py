@@ -84,10 +84,12 @@ def test_knn_fallback_is_bounded_not_crossjoin(spark):
 
 
 def test_knn_haversine_antimeridian_and_pole_exact(spark):
-    """ADVICE r2: queries hugging the +-180 line or the polar cap must
-    return exact geodesic kNN — the planar guarantee is unsound there,
-    so those queries route to the exact fallback instead of
-    early-terminating on wrong candidates."""
+    """Queries hugging the +-180 line or the polar cap must return
+    exact geodesic kNN. Since round 4 these ride the main path: the
+    haversine escalation uses spherical-box covers that split at
+    +-180 and degrade to the full band at the poles, so the guarantee
+    is the radius itself and never -inf (fallback remains only for
+    covers past the cell cap)."""
     from geo_inference_spark.operators.knn import knn_join
 
     # points straddling the antimeridian: geodesically near a +179.9
@@ -165,9 +167,9 @@ def test_knn_haversine_matches_bruteforce(spark):
 
 def test_radius_join_matches_bruteforce_incl_antimeridian(spark):
     """Geofence radius query == brute-force haversine filter, including
-    a query hugging the antimeridian — which now rides the two-sided
-    k-ring cover (own ring + wrap-image ring at qlon -+ 360) on the
-    SAME broadcast semi-join path as interior queries: no
+    a query hugging the antimeridian — which rides the spherical-box
+    cell cover (lon ranges split at +-180) on the SAME broadcast
+    semi-join path as interior queries: no
     BroadcastNestedLoopJoin anywhere in the plan (VERDICT r3 #6)."""
     from geo_inference_spark.operators.knn import radius_join
 
