@@ -84,27 +84,91 @@ def decode_media(
     return df.select(id_col, payload_col).mapInPandas(run, MEDIA_SCHEMA)
 
 
-FRAME_SCHEMA = "id long, frame_idx int, frame_bytes binary"
+RESIZE_SCHEMA = (
+    "id long, decoded boolean, width int, height int, payload binary"
+)
 
 
-def sample_frames(
-    df: DataFrame, every: int = 4, n_frames: int = 3,
+def resize_media(
+    df: DataFrame, out_w: int, out_h: int,
     id_col: str = "page_id", payload_col: str = "html",
 ) -> DataFrame:
-    """Frame sampling plumbing for video payloads: emits n_frames
-    byte-slices per payload (1 row in -> N rows out, the UDTF shape).
-    The slicing IS the stub; a real ffmpeg reader keeps the same
-    schema and batching."""
+    """REAL image resize for PNG payloads: decode through the stdlib
+    codec, nearest-neighbor index-map to (out_h, out_w) (the exact
+    floor mapping yi = i*h//out_h — deterministic, no float resampling
+    kernel), re-encode as PNG. Non-PNG payloads pass through with
+    decoded=false — the PIL/ffmpeg seam. Arrow-batched mapInPandas:
+    one scan, no shuffle, the 100 TB thumbnailing shape."""
+    from ..sources.png import encode_png
 
     def run(batches):
         for pdf in batches:
             rows = []
             for pid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
-                step = max(1, len(b) // (every * n_frames))
-                for i in range(n_frames):
-                    lo = i * every * step
-                    rows.append((int(pid), i, b[lo : lo + step]))
+                if b[:8] == PNG_SIG:
+                    pix = decode_png(b)
+                    h, w = pix.shape[:2]
+                    yi = (np.arange(out_h) * h) // out_h
+                    xi = (np.arange(out_w) * w) // out_w
+                    rows.append((
+                        int(pid), True, out_w, out_h,
+                        encode_png(pix[yi][:, xi]),
+                    ))
+                else:
+                    rows.append((int(pid), False, None, None, b))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "decoded", "width", "height", "payload"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "id long, frame_idx int, frame_bytes binary"
+
+
+def split_png_frames(b: bytes) -> list[bytes]:
+    """Split a concatenated-PNG 'video' payload into its frames by
+    signature scan (each frame is a complete PNG stream)."""
+    offs = []
+    pos = b.find(PNG_SIG)
+    while pos != -1:
+        offs.append(pos)
+        pos = b.find(PNG_SIG, pos + 8)
+    return [
+        b[offs[i] : offs[i + 1] if i + 1 < len(offs) else len(b)]
+        for i in range(len(offs))
+    ]
+
+
+def sample_frames(
+    df: DataFrame, every: int = 4, n_frames: int = 3,
+    id_col: str = "page_id", payload_col: str = "html",
+) -> DataFrame:
+    """Frame sampling for video payloads (1 row in -> N rows out, the
+    UDTF shape). REAL for the concatenated-PNG container: frames are
+    split on PNG signatures and every ``every``-th frame is emitted as
+    a complete decodable PNG. Payloads in any other container fall
+    back to deterministic byte-slice stubs — the ffmpeg seam; either
+    way the schema and Arrow batching are identical."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for pid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                frames = split_png_frames(b) if b[:8] == PNG_SIG else None
+                if frames and len(frames) > 1:
+                    for i, fi in enumerate(range(0, len(frames), every)):
+                        if i >= n_frames:
+                            break
+                        rows.append((int(pid), i, frames[fi]))
+                else:
+                    step = max(1, len(b) // (every * n_frames))
+                    for i in range(n_frames):
+                        lo = i * every * step
+                        rows.append((int(pid), i, b[lo : lo + step]))
             yield pd.DataFrame(
                 rows, columns=["id", "frame_idx", "frame_bytes"]
             )

@@ -155,3 +155,56 @@ def test_decode_media_real_png_end_to_end(spark):
     # the stub path still works for non-PNG bytes
     assert got[3]["n_bytes"] == len(b"not a png payload")
     assert 64 <= got[3]["width"] < 256
+
+
+def test_resize_media_real_png(spark):
+    """resize_media really resizes PNG payloads: decoded output PNG has
+    the target dims and pixels equal the exact floor index-map of the
+    source (independent numpy computation)."""
+    from geo_inference_spark.text.multimodal import resize_media
+
+    rng = np.random.RandomState(44)
+    imgs = {i: rng.randint(0, 256, size=(12, 9, 3)).astype(np.uint8)
+            for i in range(3)}
+    rows = [(i, encode_png(a)) for i, a in imgs.items()]
+    rows.append((9, b"not an image"))
+    df = spark.createDataFrame(rows, schema="page_id long, html binary")
+    got = {r["id"]: r for r in resize_media(df, 4, 6).collect()}
+    for i, a in imgs.items():
+        r = got[i]
+        assert r["decoded"] and (r["width"], r["height"]) == (4, 6)
+        pix = decode_png(bytes(r["payload"]))
+        yi = (np.arange(6) * 12) // 6
+        xi = (np.arange(4) * 9) // 4
+        np.testing.assert_array_equal(pix, a[yi][:, xi])
+    # non-PNG passes through untouched with decoded=false
+    assert not got[9]["decoded"] and bytes(got[9]["payload"]) == b"not an image"
+
+
+def test_sample_frames_real_png_container(spark):
+    """Concatenated-PNG 'video': sample_frames splits on signatures and
+    emits every-Nth COMPLETE decodable frame; non-container payloads
+    keep the byte-slice stub."""
+    from geo_inference_spark.text.multimodal import (
+        sample_frames,
+        split_png_frames,
+    )
+
+    rng = np.random.RandomState(45)
+    frames = [rng.randint(0, 256, size=(5, 4, 3)).astype(np.uint8)
+              for _ in range(6)]
+    video = b"".join(encode_png(f) for f in frames)
+    assert len(split_png_frames(video)) == 6
+    df = spark.createDataFrame(
+        [(1, video), (2, b"raw stub payload" * 10)],
+        schema="page_id long, html binary",
+    )
+    got = sample_frames(df, every=2, n_frames=3).collect()
+    vid = sorted((r for r in got if r["id"] == 1), key=lambda r: r["frame_idx"])
+    assert len(vid) == 3
+    for i, r in enumerate(vid):  # frames 0, 2, 4
+        np.testing.assert_array_equal(
+            decode_png(bytes(r["frame_bytes"])), frames[2 * i]
+        )
+    stub = [r for r in got if r["id"] == 2]
+    assert len(stub) == 3  # stub path unchanged
