@@ -152,6 +152,58 @@ def lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def packbits_decode(data: bytes) -> bytes:
+    """TIFF PackBits (compression 32773, Apple RLE — TIFF 6.0 §9):
+    n in [0,127] -> copy n+1 literals; n in [-127,-1] -> repeat next
+    byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal run of c+1 bytes
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # repeat next byte 257-c times
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder: greedy runs (>=3 repeats become a replicate
+    packet, else literal packets of <=128 bytes)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find run length at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        run = j - i
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i = j
+            continue
+        # literal: extend until a >=3 run starts or 128 bytes
+        lit_end = i
+        while lit_end < n and lit_end - i < 128:
+            k = lit_end + 1
+            while k < n and k - lit_end < 3 and data[k] == data[lit_end]:
+                k += 1
+            if k - lit_end >= 3:
+                break
+            lit_end += 1
+        if lit_end == i:
+            lit_end = min(i + 128, n)
+        out.append(lit_end - i - 1)
+        out += data[i:lit_end]
+        i = lit_end
+    return bytes(out)
+
+
 def _np_dtype(bits: int, sample_format: int, bo: str) -> np.dtype:
     if sample_format == 3:  # IEEE float
         return np.dtype(f"{bo}f{bits // 8}")
@@ -160,7 +212,8 @@ def _np_dtype(bits: int, sample_format: int, bo: str) -> np.dtype:
     return np.dtype(f"{bo}u{bits // 8}")  # unsigned (default)
 
 
-_COMP_IDS = {None: 1, "none": 1, "lzw": 5, "deflate": 8}
+_COMP_IDS = {None: 1, "none": 1, "lzw": 5, "deflate": 8,
+             "packbits": 32773}
 
 
 def _fp_predict(block: np.ndarray) -> bytes:
@@ -260,6 +313,8 @@ def write_geotiff(
             raw = lzw_encode(raw)
         elif comp_id == 8:
             raw = zlib.compress(raw, 6)
+        elif comp_id == 32773:
+            raw = packbits_encode(raw)
         strips.append(raw)
 
     entries = []  # (tag, type, count, value_or_bytes)
@@ -450,10 +505,10 @@ def geotiff_index(path: str) -> dict:
     Driver cost is the IFD only — never the pixel data."""
     t, bo = read_geotiff_tags(path)
     comp = t.get(T_COMPRESSION, (1,))[0]
-    if comp not in (1, 5, 8, 32946):
+    if comp not in (1, 5, 8, 32946, 32773):
         raise ValueError(
             f"TIFF compression {comp} needs the rasterio seam "
-            "(this codec reads none/LZW/deflate)"
+            "(this codec reads none/LZW/deflate/packbits)"
         )
     predictor = t.get(T_PREDICTOR, (1,))[0]
     if predictor not in (1, 2, 3):
@@ -601,6 +656,8 @@ def _decode_segment(buf, off, cnt, comp, dt, n_vals, shape, predictor):
             raw = lzw_decode(raw)
         elif comp in (8, 32946):
             raw = zlib.decompress(raw)
+        elif comp == 32773:
+            raw = packbits_decode(raw)
         return _fp_unpredict(raw, *shape, dt)
     if comp == 1:
         seg = np.frombuffer(buf, dt, count=n_vals, offset=off)
@@ -608,6 +665,8 @@ def _decode_segment(buf, off, cnt, comp, dt, n_vals, shape, predictor):
         raw = bytes(buf[off : off + cnt])
         if comp == 5:
             raw = lzw_decode(raw)
+        elif comp == 32773:
+            raw = packbits_decode(raw)
         else:  # 8 / 32946: (Adobe) deflate
             raw = zlib.decompress(raw)
         seg = np.frombuffer(raw, dt, count=min(n_vals, len(raw) // dt.itemsize))
@@ -646,10 +705,10 @@ def read_geotiff(path: str):
     else:
         raise ValueError(f"unknown TIFF magic {magic}")
     comp = t.get(T_COMPRESSION, (1,))[0]
-    if comp not in (1, 5, 8, 32946):
+    if comp not in (1, 5, 8, 32946, 32773):
         raise ValueError(
             f"TIFF compression {comp} needs the rasterio seam "
-            "(this codec reads none/LZW/deflate)"
+            "(this codec reads none/LZW/deflate/packbits)"
         )
     predictor = t.get(T_PREDICTOR, (1,))[0]
     if predictor not in (1, 2, 3):
