@@ -418,6 +418,32 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type matrix via PIVOT: one partial-agg shuffle on
+    day, event types spread to columns (Catalyst rewrites pivot to
+    conditional aggregation — exactly the oracle's FILTER form)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("day")
+    )
+
+
+def _events_pivot_oracle() -> str:
+    cols = ", ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
+        for t in ["click", "error", "purchase", "signup", "view"]
+    )
+    return f"""
+        SELECT date_trunc('day', ts) AS day, {cols}
+        FROM events GROUP BY 1 ORDER BY day
+    """
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's END PRODUCT: per near-dup cluster, keep
     the highest-quality member (ties by doc_id). Composes the
@@ -943,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q7_nation_trade": R.q7_nation_trade_volume,
         "rel_q19_disjunctive": R.q19_disjunctive_revenue,
         "events_retention": R.q_user_retention,
+        "events_pivot_daily": q_events_pivot,
     }
 
 
@@ -1137,4 +1164,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_q7_nation_trade": R.Q7_ORACLE,
         "rel_q19_disjunctive": R.Q19_ORACLE,
         "events_retention": R.RETENTION_ORACLE,
+        "events_pivot_daily": _events_pivot_oracle(),
     }

@@ -159,3 +159,41 @@ def dedup_stream(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .withWatermark("warc_ts", watermark)
         .dropDuplicatesWithinWatermark(["text_hash"])
     )
+
+
+def attribution_join_stream(
+    views: DataFrame,
+    purchases: DataFrame,
+    window_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM inner join with event-time range condition: each
+    purchase joins the same user's views in the preceding
+    ``window_seconds`` — the attribution shape. Both sides carry
+    watermarks and the join predicate bounds event-time distance, so
+    Structured Streaming can drop buffered view state older than
+    watermark + window instead of holding both streams forever — the
+    state-boundedness contract stream-stream joins require at 100 TB.
+    Streamed == batch join proven in test_streaming.py."""
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND purchase_ts >= view_ts AND "
+            f"purchase_ts <= view_ts + INTERVAL {int(window_seconds)} SECONDS"
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id", "purchase_id", "view_ts", "purchase_ts",
+        "purchase_value",
+    )

@@ -2,6 +2,7 @@
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from geo_inference_spark.operators import relational as R
 
@@ -57,3 +58,26 @@ def test_q7_q19_plans_broadcast_no_cartesian(spark):
         assert "BroadcastHashJoin" in plan, fn.__name__
         assert "CartesianProduct" not in plan, fn.__name__
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """The 100 TB path for distinct users is HLL++ (approx_count_
+    distinct, mergeable partial agg, no exact-distinct shuffle); pin
+    it within 5% of the exact count per event_type so the swap-in is
+    a measured approximation, not a guess."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n"))
+        .collect()
+    }
+    assert set(exact) == set(approx) and len(exact) == 5
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= 0.05 * n, (t, approx[t], n)

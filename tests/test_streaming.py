@@ -294,3 +294,47 @@ def test_dedup_stream_checkpoint_crash_resume(spark, tmp_path):
     assert len(got) - n_phase1 == len(
         set(base.iloc[250:]["text"]) - set(base.iloc[:250]["text"])
     )
+
+
+def test_stream_stream_attribution_join_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream range join (views x purchases per
+    user within 1 h) drains to exactly the batch join's row set."""
+    from geo_inference_spark.streaming.pipeline import attribution_join_stream
+
+    # the driver parquet stores TIMESTAMP_NTZ; watermarks need
+    # TIMESTAMP, so the ingest cast is part of the pipeline shape
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "buys")
+    # several files so the join spans micro-batches on both sides
+    ev.filter("event_type = 'view'").repartition(4).write.parquet(vdir)
+    ev.filter("event_type = 'purchase'").repartition(4).write.parquet(pdir)
+
+    ddl = ("event_id long, ts timestamp, user_id long, "
+           "event_type string, value double, props string")
+    vs = (spark.readStream.schema(ddl)
+          .option("maxFilesPerTrigger", 2).parquet(vdir))
+    ps = (spark.readStream.schema(ddl)
+          .option("maxFilesPerTrigger", 2).parquet(pdir))
+    out = attribution_join_stream(vs, ps, window_seconds=3600,
+                                  watermark="40 days")
+    q = (out.writeStream.format("memory").queryName("attr")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {
+        (r.view_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM attr").collect()
+    }
+    exp_df = (
+        spark.read.parquet(vdir).alias("v")
+        .join(
+            spark.read.parquet(pdir).alias("p"),
+            F.expr("v.user_id = p.user_id AND p.ts >= v.ts AND "
+                   "p.ts <= v.ts + INTERVAL 3600 SECONDS"),
+        )
+        .select(F.col("v.event_id").alias("view_id"),
+                F.col("p.event_id").alias("purchase_id"))
+    )
+    exp = {(r.view_id, r.purchase_id) for r in exp_df.collect()}
+    assert got == exp and len(exp) > 0
