@@ -290,6 +290,20 @@ def test_geotiff_reader_rejects_exotic_codec(tmp_path):
 
 # ---------------------------------------------------- TIFF codec matrix
 
+def _comp_seg(raw: bytes, comp: int) -> bytes:
+    import zlib as _z
+
+    from geo_inference_spark.sources.tiff import lzw_encode, packbits_encode
+
+    if comp == 5:
+        return lzw_encode(raw)
+    if comp == 8:
+        return _z.compress(raw)
+    if comp == 32773:
+        return packbits_encode(raw)
+    return raw
+
+
 def _forge_tiff(arr_hwb, bo, path, comp=1, tiled=False, predictor=1,
                 big=False, rps=8, ts=8):
     """Build a TIFF the stdlib WRITER can't produce (big-endian, tiled,
@@ -319,6 +333,11 @@ def _forge_tiff(arr_hwb, bo, path, comp=1, tiled=False, predictor=1,
         if predictor == 2:
             s = s.copy()
             s[:, 1:] = s[:, 1:] - s[:, :-1]  # wraps in the uint dtype
+        if predictor == 3:
+            from geo_inference_spark.sources.tiff import _fp_predict
+
+            data.append(_comp_seg(_fp_predict(s.astype(s.dtype)), comp))
+            continue
         raw = np.ascontiguousarray(s.astype(dt)).tobytes()
         if comp == 5:
             raw = lzw_encode(raw)
@@ -789,3 +808,24 @@ def test_packbits_spec_golden_and_file_roundtrip(tmp_path):
     write_geotiff(mask, fp, compression="packbits", rows_per_strip=16)
     got, _ = read_geotiff(fp)
     np.testing.assert_array_equal(got.astype(np.uint8), mask)
+
+
+def test_geotiff_reader_tiled_predictor3(tmp_path):
+    """Forged TILED float predictor-3 TIFF (both byte orders, LZW and
+    packbits) — pins the reader's tile-shaped byte-plane unshuffle,
+    which the striped writer roundtrips never exercise."""
+    import numpy as np
+
+    from geo_inference_spark.sources.tiff import read_geotiff
+
+    rng = np.random.RandomState(35)
+    a = rng.uniform(-100, 100, size=(19, 13, 2)).astype(np.float32)
+    for bo in ("<", ">"):
+        for comp in (5, 32773):
+            fp = str(tmp_path / f"t3_{ord(bo)}_{comp}.tif")
+            _forge_tiff(a, bo, fp, comp=comp, tiled=True, predictor=3, ts=8)
+            got, _ = read_geotiff(fp)
+            np.testing.assert_array_equal(
+                got.astype(np.float32), np.moveaxis(a, -1, 0),
+                err_msg=f"bo={bo} comp={comp}",
+            )
