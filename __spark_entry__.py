@@ -970,6 +970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q19_disjunctive": R.q19_disjunctive_revenue,
         "events_retention": R.q_user_retention,
         "events_pivot_daily": q_events_pivot,
+        "rel_q13_cust_distribution": R.q13_customer_distribution,
+        "rel_inactive_customers": R.q_inactive_customers,
     }
 
 
@@ -1165,4 +1167,6 @@ def oracle_sql() -> dict[str, str]:
         "rel_q19_disjunctive": R.Q19_ORACLE,
         "events_retention": R.RETENTION_ORACLE,
         "events_pivot_daily": _events_pivot_oracle(),
+        "rel_q13_cust_distribution": R.Q13_ORACLE,
+        "rel_inactive_customers": R.INACTIVE_ORACLE,
     }

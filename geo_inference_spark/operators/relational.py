@@ -381,3 +381,70 @@ SELECT a.d AS day, count(*) AS retained_users
 FROM du a JOIN du b ON b.user_id = a.user_id AND b.d = a.d + INTERVAL 1 DAY
 GROUP BY 1 ORDER BY day
 """
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer distribution INCLUDING
+    zero-order customers — the LEFT OUTER join + two-level aggregation
+    whose outer side must not drop unmatched probe rows."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface: customers with NO order in 1998, counted per
+    nation (LEFT ANTI in Spark == NOT EXISTS in the oracle) — the plan
+    that must stay a broadcast/shuffled hash anti-join, never a
+    filtered outer join materializing the full probe x build."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1998
+    ).select("o_custkey")
+    nation = _t(spark, sf_dir, "nation")
+    inactive = cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    )
+    return (
+        inactive.join(
+            F.broadcast(nation), inactive["c_nationkey"] == nation["n_nationkey"]
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_inactive"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+INACTIVE_ORACLE = """
+SELECT n_name, count(*) AS n_inactive, round(sum(c_acctbal), 2) AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1998
+)
+GROUP BY n_name ORDER BY n_name
+"""

@@ -190,3 +190,47 @@ def test_crs_roundtrip_property(lon, lat, epsg):
     x, y = transform_point(4326, epsg, lon, lat)
     lo, la = transform_point(epsg, 4326, x, y)
     assert abs(lo - lon) < 1e-7 and abs(la - lat) < 1e-7
+
+
+@given(
+    st.floats(-85, 85, allow_nan=False),
+    st.floats(-180, 180, allow_nan=False, exclude_max=True),
+    st.floats(5, 3000, allow_nan=False),
+    st.floats(0, 1, allow_nan=False),
+    st.floats(0, 1, allow_nan=False),
+    st.integers(0, 359),
+)
+@settings(max_examples=150, deadline=None)
+def test_box_cover_contains_every_point_within_radius(
+    qlat, qlon, radius_km, u, v, bearing_deg
+):
+    """Soundness of the spherical-box cell cover that backs both the
+    geodesic kNN escalation and radius_join: ANY point within
+    radius_km of the query (sampled by geodesic destination formula at
+    random fraction x bearing) must map to a cell in the cover —
+    including across the antimeridian and near the poles."""
+    from geo_inference_spark.grid import hexgrid
+    from geo_inference_spark.operators.knn import R_KM, _box_cover_cells
+
+    # destination point at distance d, bearing theta (great circle)
+    d = radius_km * u
+    th = np.radians(bearing_deg + 360.0 * v)
+    phi1, lam1 = np.radians(qlat), np.radians(qlon)
+    delta = d / R_KM
+    phi2 = np.arcsin(
+        np.sin(phi1) * np.cos(delta)
+        + np.cos(phi1) * np.sin(delta) * np.cos(th)
+    )
+    lam2 = lam1 + np.arctan2(
+        np.sin(th) * np.sin(delta) * np.cos(phi1),
+        np.cos(delta) - np.sin(phi1) * np.sin(phi2),
+    )
+    plat = float(np.degrees(phi2))
+    plon = float((np.degrees(lam2) + 180.0) % 360.0 - 180.0)
+
+    res = 5
+    cover = _box_cover_cells(qlat, qlon, radius_km, res)
+    cell = int(hexgrid.latlng_to_cell(
+        np.array([plat]), np.array([plon]), res
+    )[0])
+    assert cell in set(cover.tolist()), (qlat, qlon, radius_km, plat, plon)

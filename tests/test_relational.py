@@ -28,9 +28,11 @@ def con():
         (R.q7_nation_trade_volume, R.Q7_ORACLE),
         (R.q19_disjunctive_revenue, R.Q19_ORACLE),
         (R.q_user_retention, R.RETENTION_ORACLE),
+        (R.q13_customer_distribution, R.Q13_ORACLE),
+        (R.q_inactive_customers, R.INACTIVE_ORACLE),
     ],
     ids=["q1", "q3", "q5", "top_orders", "rollup", "q7", "q19",
-         "retention"],
+         "retention", "q13", "inactive"],
 )
 def test_relational_matches_oracle(spark, con, fn, oracle):
     got = fn(spark, SF).toPandas()
