@@ -444,6 +444,48 @@ def _events_pivot_oracle() -> str:
     """
 
 
+def q_events_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface (SURVEY §2.7): users who both clicked AND
+    purchased (INTERSECT -> left-semi plan) minus heavy-error users
+    (EXCEPT -> left-anti plan), counted with extremes. Both
+    set ops are DISTINCT semantics in both engines."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def users(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select("user_id")
+
+    both = users("click").intersect(users("purchase"))
+    heavy_err = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 14)
+        .select("user_id")
+    )
+    clean = both.subtract(heavy_err)  # EXCEPT (distinct) semantics
+    return clean.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("user_id").alias("min_id"),
+        F.max("user_id").alias("max_id"),
+    )
+
+
+EVENTS_SETOPS_ORACLE = """
+WITH both_u AS (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+), clean AS (
+  SELECT user_id FROM both_u
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error'
+  GROUP BY user_id HAVING count(*) > 14
+)
+SELECT count(*) AS n_users, min(user_id) AS min_id, max(user_id) AS max_id
+FROM clean
+"""
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's END PRODUCT: per near-dup cluster, keep
     the highest-quality member (ties by doc_id). Composes the
@@ -972,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot_daily": q_events_pivot,
         "rel_q13_cust_distribution": R.q13_customer_distribution,
         "rel_inactive_customers": R.q_inactive_customers,
+        "events_setops": q_events_setops,
     }
 
 
@@ -1169,4 +1212,5 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot_daily": _events_pivot_oracle(),
         "rel_q13_cust_distribution": R.Q13_ORACLE,
         "rel_inactive_customers": R.INACTIVE_ORACLE,
+        "events_setops": EVENTS_SETOPS_ORACLE,
     }
