@@ -1014,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot_daily": q_events_pivot,
         "rel_q13_cust_distribution": R.q13_customer_distribution,
         "rel_inactive_customers": R.q_inactive_customers,
+        "rel_order_quartiles": R.q_order_quartiles,
         "events_setops": q_events_setops,
     }
 
@@ -1212,5 +1213,6 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot_daily": _events_pivot_oracle(),
         "rel_q13_cust_distribution": R.Q13_ORACLE,
         "rel_inactive_customers": R.INACTIVE_ORACLE,
+        "rel_order_quartiles": R.QUARTILES_ORACLE,
         "events_setops": EVENTS_SETOPS_ORACLE,
     }

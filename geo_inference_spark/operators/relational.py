@@ -448,3 +448,37 @@ WHERE NOT EXISTS (
 )
 GROUP BY n_name ORDER BY n_name
 """
+
+
+def q_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window surface: per-priority order-value quartiles with
+    per-tile counts and value bounds (fully tie-broken ORDER BY so the
+    tile assignment is deterministic in both engines)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        orders.withColumn("tile", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("o_orderpriority", "tile")
+    )
+
+
+QUARTILES_ORACLE = """
+SELECT o_orderpriority, tile, count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM (
+  SELECT o_orderpriority, o_totalprice, o_orderkey,
+         CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey) AS INT) AS tile
+  FROM orders
+)
+GROUP BY 1, 2 ORDER BY o_orderpriority, tile
+"""

@@ -30,9 +30,10 @@ def con():
         (R.q_user_retention, R.RETENTION_ORACLE),
         (R.q13_customer_distribution, R.Q13_ORACLE),
         (R.q_inactive_customers, R.INACTIVE_ORACLE),
+        (R.q_order_quartiles, R.QUARTILES_ORACLE),
     ],
     ids=["q1", "q3", "q5", "top_orders", "rollup", "q7", "q19",
-         "retention", "q13", "inactive"],
+         "retention", "q13", "inactive", "quartiles"],
 )
 def test_relational_matches_oracle(spark, con, fn, oracle):
     got = fn(spark, SF).toPandas()
