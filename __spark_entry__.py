@@ -444,6 +444,41 @@ def _events_pivot_oracle() -> str:
     """
 
 
+def q_hybrid_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID dedup: lexical MinHash-LSH candidates (capped buckets)
+    verified by embedding cosine — the cross-modal shape real corpora
+    need, where shared boilerplate makes texts collide lexically but
+    only true semantic duplicates score high. Pair generation is the
+    bounded LSH stage; the verification is O(candidates): two joins
+    against the normed embedding projection."""
+    from geo_inference_spark.text.similarity import cosine_for_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = DD.lsh_candidate_pairs(docs, max_bucket=64)
+    return cosine_for_pairs(pairs, emb).orderBy("id1", "id2")
+
+
+def _hybrid_dedup_verify_oracle() -> str:
+    from geo_inference_spark.text.similarity import cosine_for_pairs_oracle_cte
+
+    pairs = DD.lsh_pairs_oracle_sql(max_bucket=64).strip()
+    assert pairs.endswith("ORDER BY id1, id2")
+    pairs = pairs[: -len("ORDER BY id1, id2")]
+    return f"""
+WITH pr AS ({pairs}),
+n AS ({cosine_for_pairs_oracle_cte()})
+SELECT pr.id1, pr.id2,
+       round(
+         list_aggregate(
+           list_transform(range(1, len(a.vv) + 1),
+                          i -> list_extract(a.vv, i) * list_extract(b.vv, i)),
+           'sum') / (sqrt(a.nrm) * sqrt(b.nrm)), 6) AS cos
+FROM pr JOIN n a ON pr.id1 = a.id JOIN n b ON pr.id2 = b.id
+ORDER BY id1, id2
+"""
+
+
 def q_events_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation surface (SURVEY §2.7): users who both clicked AND
     purchased (INTERSECT -> left-semi plan) minus heavy-error users
@@ -1016,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_inactive_customers": R.q_inactive_customers,
         "rel_order_quartiles": R.q_order_quartiles,
         "events_setops": q_events_setops,
+        "hybrid_dedup_verify": q_hybrid_dedup_verify,
     }
 
 
@@ -1215,4 +1251,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_inactive_customers": R.INACTIVE_ORACLE,
         "rel_order_quartiles": R.QUARTILES_ORACLE,
         "events_setops": EVENTS_SETOPS_ORACLE,
+        "hybrid_dedup_verify": _hybrid_dedup_verify_oracle(),
     }

@@ -987,3 +987,61 @@ FROM scored
 QUALIFY rn <= {k}
 ORDER BY qid, rn
 """
+
+
+def cosine_for_pairs(
+    pairs: DataFrame,
+    emb: DataFrame,
+    threshold: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine for an EXISTING (id1, id2) candidate set — the
+    semantic-verification stage of hybrid dedup: lexical (MinHash-LSH)
+    candidates are refined by embedding similarity, so near-dups that
+    share boilerplate but differ in meaning are separated from true
+    semantic duplicates. Two broadcast-sized joins against the normed
+    projection; no pair generation here, so cost is O(|pairs|)."""
+    vecs = _with_norm(emb, vec_col).select(
+        F.col(id_col).alias("id"), "_v", "_n"
+    )
+    out = (
+        pairs.join(
+            vecs.select(F.col("id").alias("id1"),
+                        F.col("_v").alias("_v1"), F.col("_n").alias("_n1")),
+            "id1",
+        )
+        .join(
+            vecs.select(F.col("id").alias("id2"),
+                        F.col("_v").alias("_v2"), F.col("_n").alias("_n2")),
+            "id2",
+        )
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(_DOT.format(a="_v1", b="_v2"))
+                / (F.sqrt(F.col("_n1")) * F.sqrt(F.col("_n2"))),
+                6,
+            ),
+        )
+        .select("id1", "id2", "cos")
+    )
+    if threshold is not None:
+        out = out.filter(F.col("cos") >= float(threshold))
+    return out
+
+
+def cosine_for_pairs_oracle_cte(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """The `n` CTE body + cosine expression the DuckDB twin uses to
+    score an existing pair set (same left-fold as cosine_pairs)."""
+    return (
+        f"SELECT {id_col} AS id, "
+        f"list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS vv, "
+        f"list_aggregate(list_transform(list_transform({vec_col}, "
+        "x -> CAST(x AS DOUBLE)), x -> x * x), 'sum') AS nrm "
+        f"FROM {table}"
+    )
