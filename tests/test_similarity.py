@@ -327,3 +327,24 @@ def test_ivf_physical_layout_prunes_and_matches(spark, emb, tmp_path):
         F.col("list").isin([int(d.split("=")[1]) for d in dirs][:3])
     )
     assert probed.count() < emb.count()
+
+
+def test_cosine_for_pairs_threshold_and_exactness(spark, emb):
+    """cosine_for_pairs scores an existing candidate set with the same
+    fold as cosine_pairs, and the threshold filter keeps exactly the
+    pairs at or above it."""
+    import pandas as pd
+
+    from geo_inference_spark.text.similarity import cosine_for_pairs
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id1": [0, 1, 2], "id2": [3, 4, 5]}),
+        schema="id1 long, id2 long",
+    )
+    allp = cosine_for_pairs(pairs, emb).toPandas()
+    assert len(allp) == 3
+    thr = float(allp["cos"].median())
+    kept = cosine_for_pairs(pairs, emb, threshold=thr).toPandas()
+    assert set(map(tuple, kept[["id1", "id2"]].values)) == set(
+        map(tuple, allp[allp["cos"] >= thr][["id1", "id2"]].values)
+    )
