@@ -134,6 +134,7 @@ def knn_join(
     max_rounds: int = 8,
     metric: str = "planar",
     plan_sink: list | None = None,
+    max_cover_cells: int = 200_000,
 ) -> DataFrame:
     """Exact k nearest points per query -> (qid, id, dist, rn).
 
@@ -164,7 +165,6 @@ def knn_join(
     results: list = []
     kr = kr0
     r_km = 2.0 * s * KM_PER_DEG * kr0  # ~2 cells of geodesic radius
-    max_cover_cells = 200_000
     for _ in range(max_rounds):
         if remaining.empty:
             break
@@ -216,82 +216,85 @@ def knn_join(
         remaining = remaining[~remaining["qid"].isin(done_ids)]
         kr *= 2
         r_km *= 2.0
-    else:
-        if not remaining.empty:
-            # final fallback for stragglers (rare: queries in
-            # near-empty regions / antimeridian / polar cap). Bounded,
-            # not a crossJoin (VERDICT r2 #8): ONE mapInPandas pass
-            # over the slim persisted projection emits, per query, the
-            # partition's local top-k PLUS every row within an epsilon
-            # of the k-th distance (ADVICE r3: a fixed +8 margin breaks
-            # if >8 candidates tie at the cut with ulp-level numpy/SQL
-            # divergence; the epsilon band is exact for ANY tie width
-            # since numpy-vs-SQL divergence is ulps, below 1e-6 rel).
-            # The final ordering and the emitted dist come from the
-            # same SQL expression as the main path (oracle-identical).
-            qarr = remaining[["qid", "lat", "lon"]].to_numpy(dtype=np.float64)
-            metric_ = metric
-            k_ = k
+    # NOT a for/else: the fallback must also run when the loop BREAKS
+    # (every remaining cover past max_cover_cells), not only when it
+    # exhausts max_rounds — a for/else here silently dropped those
+    # queries (ADVICE r4 high).
+    if not remaining.empty:
+        # final fallback for stragglers (rare: queries in
+        # near-empty regions / antimeridian / polar cap). Bounded,
+        # not a crossJoin (VERDICT r2 #8): ONE mapInPandas pass
+        # over the slim persisted projection emits, per query, the
+        # partition's local top-k PLUS every row within an epsilon
+        # of the k-th distance (ADVICE r3: a fixed +8 margin breaks
+        # if >8 candidates tie at the cut with ulp-level numpy/SQL
+        # divergence; the epsilon band is exact for ANY tie width
+        # since numpy-vs-SQL divergence is ulps, below 1e-6 rel).
+        # The final ordering and the emitted dist come from the
+        # same SQL expression as the main path (oracle-identical).
+        qarr = remaining[["qid", "lat", "lon"]].to_numpy(dtype=np.float64)
+        metric_ = metric
+        k_ = k
 
-            def local_topk(batches):
-                for pdf in batches:
-                    if not len(pdf):
-                        continue
-                    ids = pdf["id"].to_numpy(np.int64)
-                    plat = pdf["lat"].to_numpy(np.float64)
-                    plon = pdf["lon"].to_numpy(np.float64)
-                    frames = []
-                    for qid, qlat, qlon in qarr:
-                        if metric_ == "planar":
-                            d = np.sqrt(
-                                (plon - qlon) ** 2 + (plat - qlat) ** 2
-                            )
-                        else:
-                            d = 2.0 * R_KM * np.arcsin(np.sqrt(
-                                np.sin(np.radians(plat - qlat) / 2) ** 2
-                                + np.cos(np.radians(qlat))
-                                * np.cos(np.radians(plat))
-                                * np.sin(np.radians(plon - qlon) / 2) ** 2
-                            ))
-                        order = np.lexsort((ids, d))
-                        if len(order) > k_:
-                            kth = d[order[k_ - 1]]
-                            eps = 1e-6 * (1.0 + abs(kth))
-                            sel = order[d[order] <= kth + eps]
-                        else:
-                            sel = order
-                        frames.append(pd.DataFrame({
-                            "qid": np.full(len(sel), int(qid), np.int64),
-                            "id": ids[sel],
-                            "lat": plat[sel],
-                            "lon": plon[sel],
-                        }))
-                    if frames:
-                        yield pd.concat(frames, ignore_index=True)
+        def local_topk(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids = pdf["id"].to_numpy(np.int64)
+                plat = pdf["lat"].to_numpy(np.float64)
+                plon = pdf["lon"].to_numpy(np.float64)
+                frames = []
+                for qid, qlat, qlon in qarr:
+                    if metric_ == "planar":
+                        d = np.sqrt(
+                            (plon - qlon) ** 2 + (plat - qlat) ** 2
+                        )
+                    else:
+                        d = 2.0 * R_KM * np.arcsin(np.sqrt(
+                            np.sin(np.radians(plat - qlat) / 2) ** 2
+                            + np.cos(np.radians(qlat))
+                            * np.cos(np.radians(plat))
+                            * np.sin(np.radians(plon - qlon) / 2) ** 2
+                        ))
+                    order = np.lexsort((ids, d))
+                    if len(order) > k_:
+                        kth = d[order[k_ - 1]]
+                        eps = 1e-6 * (1.0 + abs(kth))
+                        sel = order[d[order] <= kth + eps]
+                    else:
+                        sel = order
+                    frames.append(pd.DataFrame({
+                        "qid": np.full(len(sel), int(qid), np.int64),
+                        "id": ids[sel],
+                        "lat": plat[sel],
+                        "lon": plon[sel],
+                    }))
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
 
-            cand = pts.mapInPandas(
-                local_topk, "qid long, id long, lat double, lon double"
+        cand = pts.mapInPandas(
+            local_topk, "qid long, id long, lat double, lon double"
+        )
+        qmeta = spark.createDataFrame(
+            remaining, schema="qid long, lat double, lon double"
+        ).select(
+            "qid", F.col("lat").alias("qlat"), F.col("lon").alias("qlon")
+        )
+        hits = cand.join(F.broadcast(qmeta), on="qid").withColumn(
+            "dist", _dist_col(metric)
+        )
+        if plan_sink is not None:  # tests pin the fallback's shape
+            plan_sink.append(
+                hits._jdf.queryExecution().executedPlan().toString()
             )
-            qmeta = spark.createDataFrame(
-                remaining, schema="qid long, lat double, lon double"
-            ).select(
-                "qid", F.col("lat").alias("qlat"), F.col("lon").alias("qlon")
-            )
-            hits = cand.join(F.broadcast(qmeta), on="qid").withColumn(
-                "dist", _dist_col(metric)
-            )
-            if plan_sink is not None:  # tests pin the fallback's shape
-                plan_sink.append(
-                    hits._jdf.queryExecution().executedPlan().toString()
-                )
-            w = Window.partitionBy("qid").orderBy("dist", "id")
-            got = (
-                hits.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= k)
-                .select("qid", "id", "dist", "rn")
-                .toPandas()
-            )
-            results.append(got)
+        w = Window.partitionBy("qid").orderBy("dist", "id")
+        got = (
+            hits.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("qid", "id", "dist", "rn")
+            .toPandas()
+        )
+        results.append(got)
 
     pts.unpersist()
     out = (
@@ -369,6 +372,10 @@ def radius_join(
             [(int(v),) for v in fallback], schema="qid long"
         )
         parts.append(pts.crossJoin(F.broadcast(fb)))
+    if not parts:  # empty query frame -> empty result (ADVICE r4)
+        return spark.createDataFrame(
+            [], schema="qid long, id long, dist_km double"
+        )
     out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     return (
         out.join(F.broadcast(qmeta), on="qid")

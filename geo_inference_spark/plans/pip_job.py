@@ -82,12 +82,21 @@ def resumable_pip_job(
     )
 
 
-def finalize_pip_job(spark: SparkSession, out_path: str) -> DataFrame:
+def finalize_pip_job(
+    spark: SparkSession, out_path: str, n_units: int | None = None
+) -> DataFrame:
     """Sum the per-unit partial counts into the final per-area table.
     Unit outputs are tiny (one row per area), so this is a trivial
-    union+agg regardless of input scale."""
-    return (
-        spark.read.parquet(out_path)
-        .groupBy("area_id")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
+    union+agg regardless of input scale.
+
+    n_units: when given, read EXACTLY out/unit={0..n_units-1} — a
+    glob over out_path would also sum stale unit=* directories left by
+    an earlier run with more units or a non-ledger write to the same
+    path (ADVICE r4)."""
+    if n_units is None:
+        src = spark.read.parquet(out_path)
+    else:
+        src = spark.read.parquet(
+            *[f"{out_path}/unit={i}" for i in range(n_units)]
+        )
+    return src.groupBy("area_id").agg(F.sum("cnt").alias("cnt"))

@@ -82,12 +82,16 @@ def main() -> None:
         spark, pages, polys, args.out, args.res, ledger, tag,
         n_units=args.units, unit_col=args.unit_col,
     )
-    final = finalize_pip_job(spark, args.out)
+    final = finalize_pip_job(spark, args.out, n_units=args.units)
     n = final.agg({"cnt": "sum"}).collect()[0][0]
     dt = time.perf_counter() - t0
+    # "resumed" = THIS run's unit keys that were already in the ledger;
+    # done_before also holds other tags/unit counts in a shared ledger
+    # (ADVICE r4)
+    resumed = len(set(keys) & done_before)
     print(
         f"DONE {tag}: {n} matched pages in {dt:.1f}s "
-        f"({len(ran)} units run, {len(done_before)} resumed) -> {args.out}"
+        f"({len(ran)} units run, {resumed} resumed) -> {args.out}"
     )
 
 

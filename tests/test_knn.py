@@ -165,6 +165,51 @@ def test_knn_haversine_matches_bruteforce(spark):
     assert got["dist"].max() > 2.0 * KM_PER_DEG / 111.0  # > planar-deg scale
 
 
+def test_knn_all_covers_exceed_cap_still_exact(spark):
+    """ADVICE r4 (high): when EVERY remaining query's box cover blows
+    past max_cover_cells, the escalation loop breaks — and the break
+    must still reach the exact-scan fallback instead of silently
+    dropping the queries (the old for/else skipped it)."""
+    pages = pages_df(spark, 1500, partitions=4)
+    pts = pages.select("page_id", "lat", "lon").toPandas()
+    queries = pd.DataFrame(
+        {"qid": [0, 1], "lat": [85.0, -60.0], "lon": [10.0, 170.0]}
+    )
+    sink: list = []
+    got = knn_join(
+        spark, pages, queries, k=4, res=8, metric="haversine",
+        max_cover_cells=0, plan_sink=sink,  # every cover "explodes"
+    ).toPandas()
+    assert sink, "break did not reach the fallback"
+    assert sorted(got["qid"].unique().tolist()) == [0, 1]
+    lat, lon = pts["lat"].to_numpy(), pts["lon"].to_numpy()
+    for _, q in queries.iterrows():
+        dphi = np.radians(lat - q.lat)
+        dlam = np.radians(lon - q.lon)
+        a = (
+            np.sin(dphi / 2) ** 2
+            + np.cos(np.radians(q.lat)) * np.cos(np.radians(lat))
+            * np.sin(dlam / 2) ** 2
+        )
+        d = 2 * 6371.0088 * np.arcsin(np.sqrt(a))
+        order = np.lexsort((pts["page_id"].to_numpy(), d))[:4]
+        exp_ids = pts["page_id"].to_numpy()[order].tolist()
+        got_ids = got[got.qid == q.qid].sort_values("rn")["id"].tolist()
+        assert got_ids == exp_ids, (q.qid, got_ids, exp_ids)
+
+
+def test_radius_join_empty_queries_returns_empty(spark):
+    """ADVICE r4: an empty query frame must yield an empty (qid, id,
+    dist_km) result, not IndexError."""
+    from geo_inference_spark.operators.knn import radius_join
+
+    pages = pages_df(spark, 100, partitions=2)
+    queries = pd.DataFrame({"qid": [], "lat": [], "lon": []})
+    out = radius_join(spark, pages, queries, radius_km=100.0, res=6)
+    assert out.columns == ["qid", "id", "dist_km"]
+    assert out.count() == 0
+
+
 def test_radius_join_matches_bruteforce_incl_antimeridian(spark):
     """Geofence radius query == brute-force haversine filter, including
     a query hugging the antimeridian — which rides the spherical-box

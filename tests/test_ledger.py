@@ -150,6 +150,44 @@ def test_resumable_pip_job_bucket_units_prune(spark, tmp_path):
     assert got == exp
 
 
+def test_finalize_ignores_stale_unit_dirs(spark, tmp_path):
+    """ADVICE r4: finalize with n_units must read EXACTLY
+    unit={0..n-1}; stale unit dirs from an earlier wider run (or a
+    non-ledger write to the same path) must not double-count."""
+    from geo_inference_spark.plans.pip_job import (
+        finalize_pip_job,
+        resumable_pip_job,
+    )
+    from geo_inference_spark.sources.pages import (
+        pages_df,
+        synth_admin_polygons,
+    )
+
+    pages = pages_df(spark, 2000, partitions=4)
+    polys = synth_admin_polygons(n_areas=8)
+    out = str(tmp_path / "out")
+    # first run with 4 units leaves unit={0,1,2,3}
+    led4 = CheckpointLedger(spark, str(tmp_path / "led4"))
+    resumable_pip_job(spark, pages, polys, out, 6, led4, "t", n_units=4)
+    # rerun the SAME input with 2 units into the same path:
+    # unit={2,3} are now stale
+    led2 = CheckpointLedger(spark, str(tmp_path / "led2"))
+    resumable_pip_job(spark, pages, polys, out, 6, led2, "t", n_units=2)
+
+    from geo_inference_spark.operators.pip_join import pages_per_area
+
+    exp = pages_per_area(spark, pages, polys, res=6).agg(
+        F.sum("cnt")
+    ).collect()[0][0]
+    got = finalize_pip_job(spark, out, n_units=2).agg(
+        F.sum("cnt")
+    ).collect()[0][0]
+    assert got == exp
+    # the unscoped glob (old behavior) would have double-counted
+    stale = finalize_pip_job(spark, out).agg(F.sum("cnt")).collect()[0][0]
+    assert stale > exp
+
+
 def test_partition_lineage_counts(spark):
     df = spark.range(0, 1000, 1, 8)
     lin = partition_lineage(df, "scan").toPandas()
