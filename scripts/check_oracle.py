@@ -34,7 +34,8 @@ def value_hash(pdf) -> str:
     return h.hexdigest()
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", only: str = "") -> int:
+    """only: comma-separated query names to restrict the gate to."""
     import os
 
     # sf-dependent oracles (IVF centroid training) follow the gate's sf
@@ -46,6 +47,11 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     qs = entrymod.queries()
+    if only:
+        want = set(only.split(","))
+        missing = want - set(qs)
+        assert not missing, f"unknown queries: {missing}"
+        qs = {k: v for k, v in qs.items() if k in want}
     oracles = entrymod.oracle_sql()
     failures = 0
     e = entrymod.entry(spark)
