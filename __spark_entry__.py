@@ -885,6 +885,66 @@ def _media_decode_oracle() -> str:
     """
 
 
+def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode through the from-scratch baseline codec
+    (sources/jpeg.py): every 11th document forges a deterministic JPEG
+    payload executor-side (varied gray/4:4:4/4:2:0, quality, restart
+    intervals) and decode_media reports true width/height/channels and
+    the mean over decoded pixels. Oracle: literal VALUES from
+    jpeg.expected_decode — the analytic quantize->IDCT expectation
+    that never touches the decoder's marker/Huffman/bitstream layers,
+    so the gate certifies the whole entropy-coding path (VERDICT r4
+    #1: this was the last md5-stubbed datum in the pipeline)."""
+    import pandas as pd
+
+    from geo_inference_spark.text.multimodal import decode_media, forge_jpeg
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 11 == 0)
+    )
+
+    def forge(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "page_id": pdf["doc_id"].astype("int64"),
+                "html": [forge_jpeg(int(d)) for d in pdf["doc_id"]],
+            })
+
+    payloads = docs.mapInPandas(forge, "page_id long, html binary")
+    return (
+        decode_media(payloads)
+        .select("id", "width", "height", "channels", "mean_byte")
+        .orderBy("id")
+    )
+
+
+def _media_decode_jpeg_oracle() -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    from geo_inference_spark.text.multimodal import expected_jpeg_stats
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy()
+    rows = []
+    for d in sorted(int(v) for v in ids if v % 11 == 0):
+        w, h, c, m = expected_jpeg_stats(d)
+        rows.append(f"({d}, {w}, {h}, {c}, {m!r})")
+    vals = ", ".join(rows)
+    return (
+        "SELECT CAST(id AS BIGINT) AS id, CAST(width AS INT) AS width,"
+        " CAST(height AS INT) AS height, CAST(channels AS INT) AS channels,"
+        " CAST(mean_byte AS DOUBLE) AS mean_byte"
+        f" FROM (VALUES {vals}) AS t(id, width, height, channels, mean_byte)"
+        " ORDER BY id"
+    )
+
+
 # --------------------------------------------------------------- raster ops
 
 def q_overlap_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1042,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_counts_salted": q_cell_counts_salted,
         "media_byte_stats": q_media_bytes,
         "media_decode": q_media_decode,
+        "media_decode_jpeg": q_media_decode_jpeg,
         "raster_overlap_polygonize": q_overlap_polygonize,
         "raster_scan_polygonize": q_raster_scan_polygonize,
         "rel_q1_pricing_summary": R.q1_pricing_summary,
@@ -1192,6 +1253,7 @@ def oracle_sql() -> dict[str, str]:
         "geocode_cells": _geocode_cells_oracle(),
         "cell_counts_salted": _cell_counts_salted_oracle(),
         "media_decode": _media_decode_oracle(),
+        "media_decode_jpeg": _media_decode_jpeg_oracle(),
         "raster_overlap_polygonize": _overlap_polygonize_oracle(),
         "raster_scan_polygonize": _raster_scan_polygonize_oracle(),
         "events_hourly": """

@@ -4,27 +4,32 @@ Images/audio/video ride through the engine as ``binary`` columns with
 a metadata struct; the Spark-side plumbing (schemas, Arrow batching,
 mapInPandas signatures, partition behavior) is real and tested.
 
-The image codec is REAL for PNG: payloads carrying the PNG signature
-decode through the from-scratch stdlib codec (sources/png.py — zlib
-inflate + all five row unfilters), yielding true width/height/channels
-and the mean over decoded PIXELS. Payloads in any other format fall
-back to a deterministic md5-derived stub (clearly marked below; md5 so
-the DuckDB oracle can reproduce every field) — the seam where a
-Pillow/ffmpeg install drops in for JPEG/video without touching the
-Spark plumbing.
+The image codecs are REAL for PNG and JPEG: PNG payloads decode
+through the from-scratch stdlib codec (sources/png.py — zlib inflate +
+all five row unfilters); JPEG payloads through the from-scratch
+baseline-DCT codec (sources/jpeg.py — full marker/Huffman/IDCT path,
+gray + YCbCr 4:4:4/4:2:0, restart markers), yielding true
+width/height/channels and the mean over decoded PIXELS. Payloads in
+any other format (video/audio containers, progressive JPEG) fall back
+to a deterministic md5-derived stub (clearly marked below; md5 so the
+DuckDB oracle can reproduce every field) — the seam where an ffmpeg
+install drops in without touching the Spark plumbing.
 """
 
 from __future__ import annotations
 
 import hashlib
+from struct import error as struct_error
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from ..sources.jpeg import decode_jpeg, encode_jpeg
 from ..sources.png import decode_png
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+JPEG_SIG = b"\xff\xd8\xff"
 
 MEDIA_SCHEMA = (
     "id long, media_type string, n_bytes long, width int, height int, "
@@ -48,10 +53,23 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
 
 
 def _decode_one(payload: bytes) -> tuple[int, int, int, float]:
-    """Real PNG decode when the signature matches; md5 stub otherwise."""
+    """Real PNG/JPEG decode when the signature matches; md5 stub for
+    anything else (video/audio seam). A malformed or non-baseline
+    stream with a JPEG signature also drops to the stub rather than
+    failing the whole Arrow batch — at 100 TB of crawl data a few
+    truncated images per partition are a certainty."""
     if payload[:8] == PNG_SIG:
         pix = decode_png(payload)
         h, w, c = pix.shape
+        mean = float(pix.astype(np.float64).mean())
+        return w, h, c, float(np.floor(mean * 1e6 + 0.5) / 1e6)
+    if payload[:3] == JPEG_SIG:
+        try:
+            pix = decode_jpeg(payload)
+        except (ValueError, NotImplementedError, IndexError, struct_error):
+            return _fake_decode(payload)
+        h, w = pix.shape[:2]
+        c = 1 if pix.ndim == 2 else pix.shape[2]
         mean = float(pix.astype(np.float64).mean())
         return w, h, c, float(np.floor(mean * 1e6 + 0.5) / 1e6)
     return _fake_decode(payload)
@@ -84,6 +102,46 @@ def decode_media(
     return df.select(id_col, payload_col).mapInPandas(run, MEDIA_SCHEMA)
 
 
+def _forge_jpeg_pix(doc_id: int):
+    """Deterministic synthetic image + encode params for ``doc_id`` —
+    shared by the gate query's executor-side forge and the driver-side
+    oracle expectation, so both sides build the identical image."""
+    doc_id = int(doc_id)
+    h = 16 + (doc_id * 7) % 33
+    w = 16 + (doc_id * 13) % 41
+    mode = doc_id % 3  # 0 gray, 1 rgb 4:4:4, 2 rgb 4:2:0
+    quality = (35, 60, 80)[(doc_id // 3) % 3]
+    rst = (0, 0, 2, 5)[doc_id % 4]
+    rng = np.random.RandomState(doc_id % (2**31 - 1))
+    shape = (h, w) if mode == 0 else (h, w, 3)
+    pix = rng.randint(0, 256, shape, dtype=np.uint8)
+    sub = "420" if mode == 2 else "444"
+    return pix, quality, sub, rst
+
+
+def forge_jpeg(doc_id: int) -> bytes:
+    """doc_id -> deterministic baseline JPEG payload (varied size,
+    gray/4:4:4/4:2:0, quality, restart interval)."""
+    pix, quality, sub, rst = _forge_jpeg_pix(doc_id)
+    return encode_jpeg(pix, quality=quality, subsample=sub,
+                       restart_interval=rst)
+
+
+def expected_jpeg_stats(doc_id: int) -> tuple[int, int, int, float]:
+    """(width, height, channels, mean_byte) that decode_media must
+    report for forge_jpeg(doc_id) — via jpeg.expected_decode, the
+    analytic path that never touches the decoder's marker/Huffman/
+    bitstream layers."""
+    from ..sources.jpeg import expected_decode
+
+    pix, quality, sub, _ = _forge_jpeg_pix(doc_id)
+    exp = expected_decode(pix, quality=quality, subsample=sub)
+    h, w = exp.shape[:2]
+    c = 1 if exp.ndim == 2 else exp.shape[2]
+    mean = float(exp.astype(np.float64).mean())
+    return w, h, c, float(np.floor(mean * 1e6 + 0.5) / 1e6)
+
+
 RESIZE_SCHEMA = (
     "id long, decoded boolean, width int, height int, payload binary"
 )
@@ -93,12 +151,13 @@ def resize_media(
     df: DataFrame, out_w: int, out_h: int,
     id_col: str = "page_id", payload_col: str = "html",
 ) -> DataFrame:
-    """REAL image resize for PNG payloads: decode through the stdlib
-    codec, nearest-neighbor index-map to (out_h, out_w) (the exact
-    floor mapping yi = i*h//out_h — deterministic, no float resampling
-    kernel), re-encode as PNG. Non-PNG payloads pass through with
-    decoded=false — the PIL/ffmpeg seam. Arrow-batched mapInPandas:
-    one scan, no shuffle, the 100 TB thumbnailing shape."""
+    """REAL image resize for PNG and JPEG payloads: decode through the
+    stdlib codecs, nearest-neighbor index-map to (out_h, out_w) (the
+    exact floor mapping yi = i*h//out_h — deterministic, no float
+    resampling kernel), re-encode in the source format (JPEG thumbs at
+    quality 90). Other payloads pass through with decoded=false — the
+    ffmpeg seam. Arrow-batched mapInPandas: one scan, no shuffle, the
+    100 TB thumbnailing shape."""
     from ..sources.png import encode_png
 
     def run(batches):
@@ -106,15 +165,19 @@ def resize_media(
             rows = []
             for pid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
-                if b[:8] == PNG_SIG:
-                    pix = decode_png(b)
+                is_png = b[:8] == PNG_SIG
+                is_jpg = b[:3] == JPEG_SIG
+                if is_png or is_jpg:
+                    pix = decode_png(b) if is_png else decode_jpeg(b)
                     h, w = pix.shape[:2]
                     yi = (np.arange(out_h) * h) // out_h
                     xi = (np.arange(out_w) * w) // out_w
-                    rows.append((
-                        int(pid), True, out_w, out_h,
-                        encode_png(pix[yi][:, xi]),
-                    ))
+                    small = pix[yi][:, xi]
+                    out = (
+                        encode_png(small) if is_png
+                        else encode_jpeg(small, quality=90, subsample="444")
+                    )
+                    rows.append((int(pid), True, out_w, out_h, out))
                 else:
                     rows.append((int(pid), False, None, None, b))
             yield pd.DataFrame(

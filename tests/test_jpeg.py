@@ -1,0 +1,196 @@
+"""Baseline JPEG codec (sources/jpeg.py) vs an INDEPENDENT numpy
+oracle written here — own DCT matrix, own quantizer, no imports of the
+codec's math helpers — so the encoder's bitstream + the decoder's
+marker/Huffman/dequant/IDCT layers are certified against separately
+derived expectations (VERDICT r4 #1).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from geo_inference_spark.sources import jpeg as J
+
+
+# ------------------------------------------------- independent oracle
+
+def _oracle_dct_mat():
+    m = np.zeros((8, 8))
+    for u in range(8):
+        for x in range(8):
+            cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+            m[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    return m
+
+
+def _oracle_roundtrip_plane(plane, qt_raster):
+    """quantize->dequantize->IDCT one already-padded float plane,
+    block by block, pure loops (slow, obviously correct)."""
+    M = _oracle_dct_mat()
+    h, w = plane.shape
+    out = np.zeros((h, w))
+    q = qt_raster.reshape(8, 8).astype(float)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+            F = M @ blk @ M.T
+            coef = np.sign(F) * np.floor(np.abs(F) / q + 0.5)
+            rec = M.T @ (coef * q) @ M
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = rec
+    return np.clip(np.floor(out + 128.0 + 0.5), 0, 255).astype(np.uint8)
+
+
+def _oracle_decode_gray(pix, quality):
+    h, w = pix.shape
+    qt = np.clip(
+        (J.QT_LUMA * (5000 // quality if quality < 50 else 200 - 2 * quality)
+         + 50) // 100, 1, 255,
+    )
+    ph = np.pad(pix.astype(float),
+                ((0, (-h) % 8), (0, (-w) % 8)), mode="edge")
+    return _oracle_roundtrip_plane(ph, qt)[:h, :w]
+
+
+# -------------------------------------------------------------- tests
+
+def _assert_indep_close(got, exp, ctx):
+    """Independent-oracle comparison: the oracle's loop-based IDCT and
+    the codec's einsum IDCT sum in different orders, so pixels landing
+    on an exact .5 boundary may floor one apart — allow |diff| <= 1 on
+    < 2% of pixels. An entropy-layer bug produces gross block-sized
+    diffs, never this signature; bit-exactness is separately pinned
+    against expected_decode (same op order)."""
+    diff = got.astype(int) - exp.astype(int)
+    assert np.abs(diff).max() <= 1, ctx
+    assert (diff != 0).mean() < 0.02, ctx
+
+
+def test_gray_roundtrip_vs_independent_oracle():
+    rng = np.random.RandomState(7)
+    for shape, q in [((64, 64), 80), ((37, 53), 50), ((8, 8), 95),
+                     ((17, 9), 25)]:
+        pix = rng.randint(0, 256, shape, dtype=np.uint8)
+        got = J.decode_jpeg(J.encode_jpeg(pix, quality=q, subsample="444"))
+        _assert_indep_close(got, _oracle_decode_gray(pix, q), (shape, q))
+        assert np.array_equal(
+            got, J.expected_decode(pix, quality=q, subsample="444")
+        ), (shape, q)
+
+
+def test_rgb_444_and_420_roundtrip_vs_expected():
+    rng = np.random.RandomState(11)
+    for shape, q, sub in [((40, 56, 3), 90, "444"), ((45, 61, 3), 75, "420"),
+                          ((16, 16, 3), 35, "420"), ((9, 23, 3), 60, "444")]:
+        pix = rng.randint(0, 256, shape, dtype=np.uint8)
+        got = J.decode_jpeg(J.encode_jpeg(pix, quality=q, subsample=sub))
+        exp = J.expected_decode(pix, quality=q, subsample=sub)
+        assert got.shape == shape
+        assert np.array_equal(got, exp), (shape, q, sub)
+
+
+def test_rgb_420_chroma_really_subsampled():
+    # a chroma checkerboard at pixel pitch cannot survive 2x2
+    # averaging: 420 output must differ from 444 output
+    rng = np.random.RandomState(3)
+    y = np.full((32, 32), 128, np.uint8)
+    cbpat = ((np.indices((32, 32)).sum(0) % 2) * 200 + 20).astype(np.uint8)
+    pix = np.stack([y, cbpat, 255 - cbpat], -1)
+    d444 = J.decode_jpeg(J.encode_jpeg(pix, quality=95, subsample="444"))
+    d420 = J.decode_jpeg(J.encode_jpeg(pix, quality=95, subsample="420"))
+    assert not np.array_equal(d444, d420)
+
+
+def test_restart_markers_decode_identically():
+    rng = np.random.RandomState(5)
+    pix = rng.randint(0, 256, (48, 80, 3), dtype=np.uint8)
+    plain = J.decode_jpeg(J.encode_jpeg(pix, quality=70))
+    for ri in (1, 3, 7):
+        b = J.encode_jpeg(pix, quality=70, restart_interval=ri)
+        assert bytes([0xFF, 0xD0]) in b  # RST0 present
+        assert np.array_equal(J.decode_jpeg(b), plain), ri
+
+
+def test_flat_gray_block_is_dc_only():
+    """A flat 8x8 at quality 100 decodes to exactly the input level —
+    DC-only block, hand-checkable path through category coding."""
+    for level in (0, 1, 127, 128, 200, 255):
+        pix = np.full((8, 8), level, np.uint8)
+        got = J.decode_jpeg(J.encode_jpeg(pix, quality=100, subsample="444"))
+        assert np.array_equal(got, pix), level
+
+
+def test_known_canonical_huffman_codes():
+    """Spot-check spec-documented codes: DC luma cat0 = '00' (2 bits),
+    cat5 = '110' (3), AC luma EOB = '1010' (4), ZRL = '11111111001'
+    (11). Catches any table-order transcription slip the structural
+    set-assert can't."""
+    dc = J._huff_sizes_codes(*J.DC_LUMA)
+    assert dc[0] == (0b00, 2)
+    assert dc[5] == (0b110, 3)
+    assert dc[11] == (0b111111110, 9)
+    ac = J._huff_sizes_codes(*J.AC_LUMA)
+    assert ac[0x00] == (0b1010, 4)          # EOB
+    assert ac[0xF0] == (0b11111111001, 11)  # ZRL
+    assert ac[0x01] == (0b00, 2)
+
+
+def test_sixteen_bit_dqt_tables_decode():
+    """Rewrite the stream's 8-bit DQT segments as Pq=1 (16-bit
+    entries) — decode must be identical."""
+    rng = np.random.RandomState(13)
+    pix = rng.randint(0, 256, (24, 40), dtype=np.uint8)
+    b = J.encode_jpeg(pix, quality=75, subsample="444")
+    out = bytearray()
+    pos = 0
+    while pos < len(b):
+        if b[pos] == 0xFF and b[pos + 1] == 0xDB:
+            seg_len = struct.unpack(">H", b[pos + 2:pos + 4])[0]
+            tid = b[pos + 4]
+            vals = b[pos + 5:pos + 5 + 64]
+            out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 128)
+            out += bytes([0x10 | tid])
+            for v in vals:
+                out += struct.pack(">H", v)
+            pos += 2 + seg_len
+        else:
+            out.append(b[pos])
+            pos += 1
+    got = J.decode_jpeg(bytes(out))
+    assert np.array_equal(got, J.decode_jpeg(b))
+
+
+def test_progressive_rejected_loudly():
+    rng = np.random.RandomState(17)
+    b = bytearray(J.encode_jpeg(rng.randint(0, 256, (16, 16), np.uint8)))
+    i = bytes(b).find(b"\xff\xc0")
+    b[i + 1] = 0xC2  # SOF0 -> SOF2
+    with pytest.raises(NotImplementedError, match="progressive|SOF"):
+        J.decode_jpeg(bytes(b))
+
+
+def test_not_a_jpeg_rejected():
+    with pytest.raises(ValueError, match="SOI"):
+        J.decode_jpeg(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_byte_stuffing_roundtrip():
+    """Force 0xFF bytes in the entropy stream (high-entropy input at
+    high quality makes them statistically certain across sizes) and
+    check stuffing survives."""
+    rng = np.random.RandomState(23)
+    pix = rng.randint(0, 256, (80, 80), dtype=np.uint8)
+    b = J.encode_jpeg(pix, quality=95, subsample="444")
+    assert b"\xff\x00" in b  # stuffed bytes really occur
+    got = J.decode_jpeg(b)
+    _assert_indep_close(got, _oracle_decode_gray(pix, 95), "stuffing")
+    assert np.array_equal(
+        got, J.expected_decode(pix, quality=95, subsample="444")
+    )
+
+
+def test_quality_monotone_size():
+    rng = np.random.RandomState(29)
+    pix = rng.randint(0, 256, (64, 64, 3), dtype=np.uint8)
+    sizes = [len(J.encode_jpeg(pix, quality=q)) for q in (10, 50, 90)]
+    assert sizes[0] < sizes[1] < sizes[2]

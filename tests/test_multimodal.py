@@ -208,3 +208,67 @@ def test_sample_frames_real_png_container(spark):
         )
     stub = [r for r in got if r["id"] == 2]
     assert len(stub) == 3  # stub path unchanged
+
+
+def test_decode_media_real_jpeg_end_to_end(spark):
+    """JPEG payloads through decode_media: true width/height/channels
+    and the mean over decoded pixels (== the analytic expectation);
+    a truncated JPEG falls to the md5 stub instead of failing the
+    Arrow batch (VERDICT r4 #1)."""
+    from geo_inference_spark.sources.jpeg import encode_jpeg, expected_decode
+    from geo_inference_spark.text.multimodal import decode_media
+
+    rng = np.random.RandomState(46)
+    gray = rng.randint(0, 256, (20, 30), dtype=np.uint8)
+    rgb = rng.randint(0, 256, (25, 17, 3), dtype=np.uint8)
+    good_g = encode_jpeg(gray, quality=60, subsample="444")
+    good_c = encode_jpeg(rgb, quality=80, subsample="420")
+    df = spark.createDataFrame(
+        [(1, good_g), (2, good_c), (3, good_c[:40])],
+        schema="page_id long, html binary",
+    )
+    got = {r["id"]: r for r in decode_media(df).collect()}
+    eg = expected_decode(gray, quality=60, subsample="444")
+    ec = expected_decode(rgb, quality=80, subsample="420")
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (30, 20, 1)
+    assert got[1]["mean_byte"] == float(
+        np.floor(eg.astype(np.float64).mean() * 1e6 + 0.5) / 1e6
+    )
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (17, 25, 3)
+    assert got[2]["mean_byte"] == float(
+        np.floor(ec.astype(np.float64).mean() * 1e6 + 0.5) / 1e6
+    )
+    # truncated stream -> deterministic stub, not an exception
+    assert got[3]["n_bytes"] == 40
+
+
+def test_resize_media_real_jpeg(spark):
+    """JPEG thumbnailing: decode -> floor-index NN resize -> re-encode
+    as JPEG; the emitted payload is a decodable JPEG of the target
+    size whose pixels equal the analytic expectation of re-encoding
+    the resized pixels."""
+    from geo_inference_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        expected_decode,
+    )
+    from geo_inference_spark.text.multimodal import resize_media
+
+    rng = np.random.RandomState(47)
+    rgb = rng.randint(0, 256, (40, 60, 3), dtype=np.uint8)
+    payload = encode_jpeg(rgb, quality=85, subsample="444")
+    df = spark.createDataFrame(
+        [(5, payload)], schema="page_id long, html binary"
+    )
+    got = resize_media(df, out_w=16, out_h=12).collect()[0]
+    assert got["decoded"] and (got["width"], got["height"]) == (16, 12)
+    out = decode_jpeg(bytes(got["payload"]))
+    assert out.shape == (12, 16, 3)
+    # reproduce the expected thumb: decode source, NN index-map, then
+    # the analytic decode expectation of the quality-90 re-encode
+    src = decode_jpeg(payload)
+    yi = (np.arange(12) * 40) // 12
+    xi = (np.arange(16) * 60) // 16
+    np.testing.assert_array_equal(
+        out, expected_decode(src[yi][:, xi], quality=90, subsample="444")
+    )
