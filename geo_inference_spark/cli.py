@@ -168,15 +168,50 @@ def _load_raster(path: str, bbox):
         }
 
 
-def _load_model(spec, num_classes: int):
-    """'linear[:seed]' -> deterministic stand-in (torch absent here);
-    a .pt path raises with the --archives deployment pointer."""
-    if spec is None or str(spec).startswith("linear"):
-        seed = int(str(spec).split(":")[1]) if spec and ":" in str(spec) else 17
+def _load_model(spec, num_classes: int, work_dir=None):
+    """Resolve a model spec to a callable (S7):
+
+    * 'linear[:seed]' — the deterministic stand-in, inline;
+    * a path or URL (http(s)://, file://) to a ``.gjmodel.json``
+      descriptor, or to a ``.tar.gz`` bundle containing one —
+      resolved through sources/artifacts.get_model (cached download,
+      bearer token via $GEO_INFERENCE_TOKEN, tar.gz extract; the
+      reference's model-zoo path, helpers.py:104-196);
+    * a .pt path raises with the --archives deployment pointer
+      (torch is absent in this sandbox).
+    """
+    import json
+    import os
+
+    s = str(spec)
+    if spec is None or s.startswith("linear"):
+        seed = int(s.split(":")[1]) if spec and ":" in s else 17
         return make_linear_model(num_classes, seed=seed)
+    if s.endswith((".gjmodel.json", ".tar.gz")):
+        from .sources.artifacts import get_model
+
+        local = get_model(
+            s, work_dir, access_token=os.environ.get("GEO_INFERENCE_TOKEN")
+        )
+        if not local.name.endswith(".gjmodel.json"):
+            raise ValueError(
+                f"model bundle {s!r} does not contain a .gjmodel.json "
+                f"descriptor (got {local.name!r})"
+            )
+        desc = json.loads(local.read_text())
+        if desc.get("kind") != "linear":
+            raise NotImplementedError(
+                f"model kind {desc.get('kind')!r} needs torch "
+                "(ship via spark-submit --archives)"
+            )
+        return make_linear_model(
+            int(desc.get("num_classes", num_classes)),
+            seed=int(desc.get("seed", 17)),
+        )
     raise NotImplementedError(
         "TorchScript models need torch (ship via spark-submit --archives); "
-        "this sandbox supports the 'linear[:seed]' stand-in"
+        "this sandbox supports the 'linear[:seed]' stand-in and "
+        ".gjmodel.json artifacts (path, URL, or tar.gz bundle)"
     )
 
 
@@ -188,7 +223,10 @@ def run(args: dict) -> dict:
     from .sources.sinks import write_geojson, write_mask_tiles, write_yolo_csv
 
     spark = get_spark("geo-inference-cli", cores=args["cores"])
-    model = _load_model(args["model"], args["classes"])
+    # artifact cache rides the job's work_dir (reference
+    # geo_inference.py:98-106 uses the same dir for the model zoo)
+    model = _load_model(args["model"], args["classes"],
+                        work_dir=args["work_dir"])
     if args["transformers"]:
         model = tta_wrap(
             model,
