@@ -15,12 +15,15 @@ scratch:
 * coordinates mapped through the raster affine transform
   ``x = a*col + b*row + c ; y = d*col + e*row + f``.
 
-Self-touching "pinch" vertices (diagonally-adjacent pixels of one
-component) are kept as a single ring passing through the vertex
-twice, resolved by always taking the sharpest-left turn — the same
-shape GDAL emits; the reference's extra ``buffer(0.0)`` would split
-such rings, which never occurs for the smooth masks the model stage
-produces (and tests pin our behavior explicitly).
+Self-touching "pinch" vertices (checkerboard corners where a hole
+meets the exterior or another hole) are first traced as a single
+ring passing through the vertex twice (sharpest-left turn rule),
+then HEALED by splitting at repeated vertices
+(``split_ring_at_repeats``) — the same node-split shapely's
+``buffer(0.0)`` applies in the reference
+(utils/polygon.py:60-62), so every emitted ring is simple and
+component area equals its pixel count (property-tested on masks
+constructed to pinch).
 
 Everything here is per-tile-callable: component labels, boundary
 edges and border strips are local facts, which is what lets
@@ -195,12 +198,49 @@ def chain_rings(edges: np.ndarray) -> list[np.ndarray]:
     return rings
 
 
+def split_ring_at_repeats(ring: np.ndarray) -> list[np.ndarray]:
+    """Split a self-touching ring into simple rings at repeated
+    vertices — the node-split shapely's ``buffer(0)`` applies to the
+    reference's GDAL output (utils/polygon.py:60-62). Walk the ring;
+    whenever the current vertex was already visited, the loop since
+    its first visit is extracted as its own closed ring and the walk
+    resumes from that vertex. Orientation of each sub-ring is the
+    traversal's own, so an extracted hole loop keeps its negative
+    signed area. Vertices are exact lattice points (pre-transform),
+    so tuple equality is exact. O(n)."""
+    pts = [(float(x), float(y)) for x, y in ring[:-1]]
+    if len(set(pts)) == len(pts):
+        return [ring]
+    out: list[np.ndarray] = []
+    path: list[tuple] = []
+    index: dict[tuple, int] = {}
+    for p in pts:
+        if p in index:
+            i = index[p]
+            loop = path[i:] + [p]
+            if len(loop) >= 4:  # >= 3 distinct vertices
+                out.append(np.array(loop, dtype=np.float64))
+            for q in path[i + 1:]:
+                del index[q]
+            del path[i + 1:]  # p stays as the walk's position
+        else:
+            index[p] = len(path)
+            path.append(p)
+    out.append(np.array(path + [path[0]], dtype=np.float64))
+    return out
+
+
 def rings_to_polygon(rings: list[np.ndarray]) -> list[np.ndarray]:
-    """Order a component's rings as [exterior, holes...].
+    """Order a component's rings as [exterior, holes...], after
+    splitting any self-touching ring at its pinch vertices
+    (buffer(0) parity with the reference — a 4-connected component's
+    pinches always merge hole/exterior loops, so the healed set is
+    one exterior plus simple holes, never two exteriors).
 
     Exterior = the ring with the largest |area| (positive orientation
     by construction); holes follow in traced order.
     """
+    rings = [s for r in rings for s in split_ring_at_repeats(r)]
     if len(rings) == 1:
         return rings
     areas = [abs(ring_signed_area(r)) for r in rings]

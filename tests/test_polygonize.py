@@ -107,3 +107,97 @@ def test_chain_rings_is_order_canonical():
         assert len(shuf) == len(base)
         for a, b in zip(base, shuf):
             np.testing.assert_array_equal(a, b)
+
+
+def test_pinch_healing_hole_touching_exterior():
+    """A hole meeting the exterior at a checkerboard corner: the
+    traced self-touching ring is split at the pinch vertex into a
+    simple exterior + a simple hole (shapely buffer(0) node-split
+    parity; VERDICT r4 #5). Area == pixel count."""
+    m = np.array([[1, 1, 1], [1, 0, 1], [1, 1, 0]], dtype=np.uint8)
+    polys = mask_to_polygons(m)
+    assert len(polys) == 1
+    rings, _ = polys[0]
+    # every ring simple: no repeated vertices
+    for r in rings:
+        pts = [tuple(p) for p in r[:-1]]
+        assert len(set(pts)) == len(pts), r
+    assert polygon_area(rings) == 7.0  # pixel count
+    assert len(rings) == 2  # exterior + healed hole
+    assert ring_signed_area(rings[0]) > 0 > ring_signed_area(rings[1])
+
+
+def test_pinch_healing_two_holes_touching():
+    """Two diagonal holes sharing a corner: traced as one
+    self-touching hole ring, healed into two simple holes."""
+    m = np.ones((4, 5), dtype=np.uint8)
+    m[1, 1] = 0
+    m[2, 2] = 0
+    polys = mask_to_polygons(m)
+    assert len(polys) == 1
+    rings, _ = polys[0]
+    for r in rings:
+        pts = [tuple(p) for p in r[:-1]]
+        assert len(set(pts)) == len(pts), r
+    assert polygon_area(rings) == 18.0
+    assert len(rings) == 3  # exterior + 2 simple holes
+
+
+def test_pinch_healing_property_random_checkerboards():
+    """Property: for random masks seeded with checkerboard pinches,
+    every emitted ring is simple and every polygon's area equals its
+    component's pixel count (signed hole areas subtract exactly)."""
+    from geo_inference_spark.raster.polygonize import label_components
+
+    rng = np.random.RandomState(12)
+    for trial in range(20):
+        m = (rng.uniform(size=(12, 14)) < 0.62).astype(np.uint8)
+        # plant a few checkerboard pinches
+        for _ in range(4):
+            y = rng.randint(0, 11)
+            x = rng.randint(0, 13)
+            m[y, x] = m[y + 1, x + 1] = 1
+            m[y, x + 1] = m[y + 1, x] = 0
+        lab = label_components(m)
+        sizes = {}
+        for v in lab[lab >= 0].ravel():
+            sizes[int(v)] = sizes.get(int(v), 0) + 1
+        polys = mask_to_polygons(m)
+        assert len(polys) == len(sizes)
+        areas = sorted(polygon_area(r) for r, _ in polys)
+        assert areas == sorted(float(s) for s in sizes.values()), trial
+        for rings, _ in polys:
+            for r in rings:
+                pts = [tuple(p) for p in r[:-1]]
+                assert len(set(pts)) == len(pts)
+
+
+def test_pinch_healing_distributed_matches_dense(spark):
+    """The distributed polygonize (tile split + border stitch) heals
+    pinches identically to the dense path — including pinches that
+    straddle a tile border."""
+    from geo_inference_spark.operators.vectorize import polygonize_tiles
+
+    rng = np.random.RandomState(21)
+    m = (rng.uniform(size=(16, 16)) < 0.6).astype(np.uint8)
+    # pinches ON the tile border (tile=8): corners at x or y == 8
+    for y, x in [(7, 7), (7, 3), (3, 7), (11, 7)]:
+        m[y, x] = m[y + 1, x + 1] = 1
+        m[y, x + 1] = m[y + 1, x] = 0
+    rows = [
+        (ty, tx,
+         m[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8]
+         .astype(np.uint8).tobytes())
+        for ty in range(2) for tx in range(2)
+    ]
+    sdf = spark.createDataFrame(rows, schema="ty int, tx int, mask binary")
+    got = (
+        polygonize_tiles(spark, sdf, 8)
+        .orderBy("poly_id")
+        .toPandas()
+    )
+    exp = mask_to_polygons(m.astype(np.float64))
+    assert len(got) == len(exp)
+    exp_areas = sorted(round(polygon_area(r), 9) for r, _ in exp)
+    got_areas = sorted(round(a, 9) for a in got["area"])
+    assert got_areas == exp_areas
