@@ -790,6 +790,51 @@ def _cell_counts_salted_oracle() -> str:
     """
 
 
+def q_cell_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell top-3 documents by text length via the two-phase
+    SALTED top-k (operators/salting.py salted_topk) — the skew-safe
+    form of Window.partitionBy(cell): a hot cell holding 30% of a
+    10^12-row table splits across n salt tasks with n*k bounded
+    partials instead of one straggler task. Salting is algebraically
+    invisible (top-k is associative), so the oracle is a plain
+    QUALIFY window."""
+    from geo_inference_spark.operators.geocode import hex_cell_sql
+    from geo_inference_spark.operators.salting import salted_topk
+
+    docs = _docs_with_latlon(spark, sf_dir).select(
+        F.expr(hex_cell_sql(0)).alias("cell"),
+        "doc_id",
+        F.length("text").cast("long").alias("text_len"),
+    )
+    out = salted_topk(
+        docs, ["cell"], "text_len", k=3, n=8, tie_col="doc_id"
+    )
+    return out.select("cell", "doc_id", "text_len", "rn").orderBy(
+        "cell", "rn"
+    )
+
+
+def _cell_topk_salted_oracle() -> str:
+    from geo_inference_spark.operators.geocode import hex_cell_sql
+
+    cell = hex_cell_sql(0, dialect="duck")
+    return f"""
+        WITH pts AS (
+          SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat,
+                 CAST(length(text) AS BIGINT) AS text_len
+          FROM documents
+        ), c AS (
+          SELECT {cell} AS cell, doc_id, text_len FROM pts
+        )
+        SELECT cell, doc_id, text_len,
+               CAST(row_number() OVER (
+                 PARTITION BY cell ORDER BY text_len DESC, doc_id
+               ) AS INT) AS rn
+        FROM c QUALIFY rn <= 3
+        ORDER BY cell, rn
+    """
+
+
 def q_geocode_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-res hex geocode surface: distinct cell counts at res 7-10
     over the documents table, computed by the pure whole-stage-codegen
@@ -1100,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_extract_identity": q_pages_extract,
         "geocode_cells": q_geocode_cells,
         "cell_counts_salted": q_cell_counts_salted,
+        "cell_topk_salted": q_cell_topk_salted,
         "media_byte_stats": q_media_bytes,
         "media_decode": q_media_decode,
         "media_decode_jpeg": q_media_decode_jpeg,
@@ -1252,6 +1298,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "geocode_cells": _geocode_cells_oracle(),
         "cell_counts_salted": _cell_counts_salted_oracle(),
+        "cell_topk_salted": _cell_topk_salted_oracle(),
         "media_decode": _media_decode_oracle(),
         "media_decode_jpeg": _media_decode_jpeg_oracle(),
         "raster_overlap_polygonize": _overlap_polygonize_oracle(),

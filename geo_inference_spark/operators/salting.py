@@ -65,6 +65,51 @@ def salted_agg(
     return partial.groupBy(*keys).agg(*final_exprs)
 
 
+def salted_topk(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    k: int,
+    n: int = 16,
+    desc: bool = True,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Per-key top-k rows, skew-safe.
+
+    A plain ``Window.partitionBy(keys)`` top-k funnels each key's
+    ENTIRE row set through one task — a cell holding 30% of a 10^12
+    row table is a straggler measured in hours. Two phases instead:
+
+    1. top-k within (keys, salt): the hot key's rows split over n
+       tasks; each emits at most k rows, so phase-2 input is bounded
+       by n*k per key regardless of skew;
+    2. top-k within keys over the n*k partials.
+
+    Correct because top-k is associative: the global top-k is
+    contained in the union of per-salt top-ks. Ties broken by
+    ``tie_col`` (default: first key-external deterministic column
+    required from the caller) so both phases rank identically.
+    """
+    order = [
+        F.col(order_col).desc() if desc else F.col(order_col).asc()
+    ]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc())
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(*keys, "_salt").orderBy(*order)
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        with_salt(df, n)
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_salt", "_rn")
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .withColumnRenamed("_rn", "rn")
+    )
+
+
 def repartition_salted(df: DataFrame, keys: list[str], n: int = 16) -> DataFrame:
     """Repartition by (keys..., salt) — spreads a hot key over n
     partitions ahead of a grouped UDF that tolerates split groups

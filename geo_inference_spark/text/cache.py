@@ -8,25 +8,68 @@ attaches the persisted frames to the result (``_cached_deps``) and the
 caller releases them once done (ADVICE r2: long-lived sessions
 otherwise accumulate cached storage):
 
-    out = lsh_candidate_pairs(docs)
-    pairs = out.collect()
-    release(out)
+    with released(lsh_candidate_pairs(docs)) as out:
+        pairs = out.collect()
+
+or, without the context manager, an explicit ``release(out)``.
+Either way a weakref FINALIZER on the result frame unpersists the
+deps when the result is garbage-collected, so a call site that
+forgets both cannot leak persisted storage for the life of the
+session (VERDICT r4 #8) — the finalizer is the safety net, the
+context manager the intended API.
 
 ``release`` is a safe no-op on frames without attached deps.
 """
 
 from __future__ import annotations
 
+import weakref
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
+
+
+def _unpersist_all(deps: list[DataFrame]) -> None:
+    for dep in deps:
+        try:
+            dep.unpersist()
+        except Exception:
+            # interpreter/JVM teardown race — storage dies with the JVM
+            pass
 
 
 def attach(out: DataFrame, *deps: DataFrame) -> DataFrame:
     existing = list(getattr(out, "_cached_deps", []))
     out._cached_deps = existing + list(deps)
+    # re-arm the finalizer on the merged list (detach the old one so a
+    # second attach() doesn't leave a stale finalizer on a stale list)
+    fin = getattr(out, "_cached_finalizer", None)
+    if fin is not None:
+        fin.detach()
+    # NB: the callback must not reference ``out`` itself, only the
+    # deps list, or the finalizer would keep the frame alive forever
+    out._cached_finalizer = weakref.finalize(
+        out, _unpersist_all, out._cached_deps
+    )
     return out
 
 
 def release(df: DataFrame) -> None:
-    for dep in getattr(df, "_cached_deps", []):
-        dep.unpersist()
+    fin = getattr(df, "_cached_finalizer", None)
+    if fin is not None:
+        fin.detach()
+    _unpersist_all(getattr(df, "_cached_deps", []))
     df._cached_deps = []
+
+
+@contextmanager
+def released(df: DataFrame):
+    """Scope a cached-deps result: unpersist its dependencies on exit.
+
+        with released(srp_lsh_topk(...)) as out:
+            rows = out.collect()
+    """
+    try:
+        yield df
+    finally:
+        release(df)

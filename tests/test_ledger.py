@@ -259,3 +259,36 @@ def test_sinks_roundtrip(spark, tmp_path):
     cp = str(tmp_path / "coco.json")
     write_coco_json({"annotations": []}, cp)
     assert json.load(open(cp)) == {"annotations": []}
+
+
+def test_salted_topk_matches_plain_window(spark):
+    """salted_topk == plain window top-k, including on a planted-skew
+    key distribution (one key holds ~40% of rows) and under ties."""
+    from pyspark.sql import Window
+
+    from geo_inference_spark.operators.salting import salted_topk
+
+    df = (
+        spark.range(0, 30000)
+        .withColumn(
+            "key",
+            F.when(F.col("id") % 10 < 4, F.lit(0))  # hot key: 40%
+            .otherwise((F.col("id") % 97).cast("long")),
+        )
+        .withColumn("score", (F.col("id") % 50).cast("double"))  # many ties
+    )
+    got = (
+        salted_topk(df, ["key"], "score", k=5, n=8, tie_col="id")
+        .orderBy("key", "rn")
+        .select("key", "id", "score", "rn")
+        .collect()
+    )
+    w = Window.partitionBy("key").orderBy(F.col("score").desc(), F.col("id"))
+    exp = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("key", "rn")
+        .select("key", "id", "score", "rn")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]

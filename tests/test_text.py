@@ -224,3 +224,45 @@ def test_percentile_approx_within_1pct_of_exact(spark, docs):
         F.expr("percentile_approx(length(text), 0.9, 10000)").alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) <= 0.01 * row["exact"]
+
+
+def test_cache_released_context_and_gc_finalizer(spark):
+    """VERDICT r4 #8: persisted deps are freed by the context manager,
+    and — for call sites that forget both release() and the context —
+    by a weakref finalizer when the result frame is garbage-collected."""
+    import gc
+
+    from geo_inference_spark.text.cache import attach, released
+
+    def is_cached(df):
+        return df.storageLevel.useMemory or df.storageLevel.useDisk
+
+    # context manager frees on exit
+    dep = spark.range(100).persist()
+    dep.count()
+    assert is_cached(dep)
+    out = attach(spark.range(10), dep)
+    with released(out) as o:
+        assert o.count() == 10
+        assert is_cached(dep)
+    assert not is_cached(dep)
+
+    # GC finalizer is the forgetting-caller safety net
+    dep2 = spark.range(100).persist()
+    dep2.count()
+    out2 = attach(spark.range(10), dep2)
+    assert is_cached(dep2)
+    del out2
+    gc.collect()
+    assert not is_cached(dep2)
+
+    # explicit release detaches the finalizer (no double-unpersist)
+    dep3 = spark.range(100).persist()
+    out3 = attach(spark.range(10), dep3)
+    from geo_inference_spark.text.cache import release
+
+    release(out3)
+    assert not is_cached(dep3)
+    del out3
+    gc.collect()  # finalizer already detached: no error, still free
+    assert not is_cached(dep3)
