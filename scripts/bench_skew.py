@@ -13,7 +13,7 @@ the skew actually bites: a plain Window.partitionBy(cell) funnels the
 hot cell's 30% of the table through ONE task; salted_topk bounds every
 task at n*k rows per key.
 
-Usage: python scripts/bench_skew.py [n_rows] [hot_frac]
+Usage: python scripts/bench_skew.py [n_rows] [hot_frac] [res]
 Appends nothing; prints one JSON line — copy into BENCH/BASELINE.md.
 """
 
@@ -38,7 +38,7 @@ from geo_inference_spark.operators.salting import (  # noqa: E402
 from geo_inference_spark.session import get_spark  # noqa: E402
 
 
-def build_skewed_pages(spark, n: int, hot_frac: float):
+def build_skewed_pages(spark, n: int, hot_frac: float, res: int):
     """30% of rows at one point (one cell at any res), rest uniform."""
     def gen(batches):
         for pdf in batches:
@@ -57,7 +57,7 @@ def build_skewed_pages(spark, n: int, hot_frac: float):
     return (
         spark.range(0, n, 1, 16)
         .mapInPandas(gen, "page_id long, lat double, lon double, score double")
-        .withColumn("cell", hex_cell_udf(8)(F.col("lat"), F.col("lon")))
+        .withColumn("cell", hex_cell_udf(res)(F.col("lat"), F.col("lon")))
     )
 
 
@@ -73,12 +73,18 @@ def median3(fn):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 3_000_000
     hot = float(sys.argv[2]) if len(sys.argv) > 2 else 0.30
+    # res 2 ~= a few hundred cells globally: the regime where ONE hot
+    # key is a straggler task. At res 8 the uniform 70% spreads over
+    # ~2M tiny cells and per-group overhead dominates instead — the
+    # hot key is invisible (measured: salting LOSES there, 8.8 vs
+    # 10.3 s; that honest negative is part of the writeup).
+    res = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     spark = get_spark("bench-skew", cores=8)
-    path = f"/tmp/graft_skew_pages_{n}_{hot}"
+    path = f"/tmp/graft_skew_pages_{n}_{hot}_r{res}"
     import os
 
     if not os.path.isdir(path):
-        build_skewed_pages(spark, n, hot).write.mode("overwrite").parquet(path)
+        build_skewed_pages(spark, n, hot, res).write.mode("overwrite").parquet(path)
     pages = spark.read.parquet(path)
     pages.count()  # warm
 
@@ -113,7 +119,7 @@ def main():
     t_salt_topk = median3(salt_topk)
 
     print(json.dumps({
-        "n_rows": n, "hot_frac": hot, "cores": 8,
+        "n_rows": n, "hot_frac": hot, "res": res, "cores": 8,
         "count_plain_sec": round(t_plain_cnt, 3),
         "count_salted_sec": round(t_salt_cnt, 3),
         "topk_plain_sec": round(t_plain_topk, 3),
