@@ -57,8 +57,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: str = "") -> int:
     e = entrymod.entry(spark)
     n = e.count()
     print(f"entry(): {n} rows, schema={e.schema.simpleString()}")
+    import time as _t
+
     for name, fn in qs.items():
+        _t0 = _t.perf_counter()
         sdf = fn(spark, sf_dir).toPandas()
+        _t1 = _t.perf_counter()
         if name not in oracles:
             print(f"{name}: rows-only check, {len(sdf)} rows")
             continue
@@ -83,7 +87,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: str = "") -> int:
                 print(ms[diff].head(3))
                 print(os_[diff].head(3))
         else:
-            print(f"{name}: OK ({len(sdf)} rows)")
+            _t2 = _t.perf_counter()
+            print(
+                f"{name}: OK ({len(sdf)} rows) "
+                f"spark {_t1 - _t0:.1f}s oracle {_t2 - _t1:.1f}s",
+                flush=True,
+            )
     return failures
 
 
