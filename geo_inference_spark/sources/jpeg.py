@@ -379,6 +379,210 @@ def encode_jpeg(
     return bytes(out)
 
 
+def encode_jpeg_progressive(
+    pix: np.ndarray,
+    quality: int = 75,
+    subsample: str = "420",
+) -> bytes:
+    """uint8 gray/RGB -> progressive (SOF2) JFIF bytes.
+
+    Scan script (spec G.1 successive approximation + spectral
+    selection, all within the standard Annex-K Huffman tables — EOB
+    runs are kept at 1 so only EOB0/ZRL symbols are needed):
+
+      1. DC, all components interleaved, Al=1
+      2. per component: AC band 1..5,  Al=1   (low frequencies first)
+      3. per component: AC band 6..63, Al=1
+      4. DC refinement (Al=0, raw bits)
+      5. per component: AC band 1..5  refinement (Al=0)
+      6. per component: AC band 6..63 refinement (Al=0)
+
+    The decoded result is BIT-IDENTICAL to decoding the baseline
+    encoding at the same quality/subsampling (same quantized
+    coefficients, different entropy transport) — pinned by tests.
+    """
+    if pix.dtype != np.uint8 or pix.ndim not in (2, 3):
+        raise ValueError("encode_jpeg_progressive wants uint8 (h,w)[,3]")
+    h, w = pix.shape[:2]
+    planes = _subsampled_planes(pix, subsample if pix.ndim == 3 else "444")
+    ncomp = len(planes)
+    hmax = max(p[1][0] for p in planes)
+    vmax = max(p[1][1] for p in planes)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    qts = [quality_scale(QT_LUMA, quality),
+           quality_scale(QT_CHROMA, quality)]
+    comp_coef = []
+    used_dims = []
+    for plane, (hi, vi), is_chroma in planes:
+        bw, bh = mcus_x * hi, mcus_y * vi
+        blocks = _plane_blocks(plane, bh, bw)
+        coef = _quantize_blocks(blocks, qts[1 if is_chroma else 0])
+        comp_coef.append(coef.reshape(bh, bw, 64))
+        used_dims.append(_comp_used_blocks(h, w, hi, vi, hmax, vmax))
+
+    enc_dc = [_huff_sizes_codes(*DC_LUMA), _huff_sizes_codes(*DC_CHROMA)]
+    enc_ac = [_huff_sizes_codes(*AC_LUMA), _huff_sizes_codes(*AC_CHROMA)]
+
+    def dc_scan(al, refine):
+        bw_ = _BitWriter()
+        pred = [0] * ncomp
+        for m in range(mcus_y * mcus_x):
+            my, mx = divmod(m, mcus_x)
+            for ci, (_, (hi, vi), _c) in enumerate(planes):
+                t = 1 if ci else 0
+                for by in range(vi):
+                    for bx in range(hi):
+                        dc = int(comp_coef[ci][my * vi + by, mx * hi + bx, 0])
+                        if refine:
+                            bw_.put((dc >> al) & 1, 1)
+                            continue
+                        v = dc >> al  # arithmetic shift (spec G.1.2.1)
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        s = int(abs(diff)).bit_length()
+                        code, ln = enc_dc[t][s]
+                        bw_.put(code, ln)
+                        if s:
+                            bw_.put(
+                                diff if diff >= 0 else diff + (1 << s) - 1, s
+                            )
+        bw_.align()
+        return bytes(bw_.out)
+
+    def ac_first_scan(ci, ss, se, al):
+        t = 1 if ci else 0
+        ac = enc_ac[t]
+        bw_ = _BitWriter()
+        brows, bcols = used_dims[ci]
+        grid = comp_coef[ci]
+        for i in range(brows * bcols):
+            by, bx = divmod(i, bcols)
+            blk = grid[by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                c = int(blk[k])
+                t_ = abs(c) >> al  # point transform: magnitude shift
+                v = t_ if c > 0 else -t_
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = ac[0xF0]
+                    bw_.put(code, ln)
+                    r -= 16
+                s = abs(v).bit_length()
+                code, ln = ac[(r << 4) | s]
+                bw_.put(code, ln)
+                bw_.put(v if v >= 0 else v + (1 << s) - 1, s)
+                r = 0
+            if r > 0:
+                code, ln = ac[0x00]  # EOB (run length 1)
+                bw_.put(code, ln)
+        bw_.align()
+        return bytes(bw_.out)
+
+    def ac_refine_scan(ci, ss, se, al):
+        """Positional simulation of the decoder's refinement walk
+        (G.2 / libjpeg encode_mcu_AC_refine): corrections for
+        nonzero-history coefficients are emitted exactly where the
+        decoder's walk reads them."""
+        t = 1 if ci else 0
+        ac = enc_ac[t]
+        ah = al + 1
+        bw_ = _BitWriter()
+        brows, bcols = used_dims[ci]
+        grid = comp_coef[ci]
+        p1bit = al
+        for i in range(brows * bcols):
+            by, bx = divmod(i, bcols)
+            blk = grid[by, bx]
+            hist = [(abs(int(blk[k])) >> ah) != 0 for k in range(64)]
+            mag = [abs(int(blk[k])) >> al for k in range(64)]
+            pos = ss
+            while True:
+                # next newly-nonzero >= pos, counting zero-history run
+                j, r, sp = None, 0, pos
+                while sp <= se:
+                    if not hist[sp] and mag[sp] != 0:
+                        j = sp
+                        break
+                    if not hist[sp]:
+                        r += 1
+                    sp += 1
+                if j is None:
+                    break
+                while r > 15:
+                    code, ln = ac[0xF0]
+                    bw_.put(code, ln)
+                    consumed = 0
+                    while consumed < 16:
+                        if hist[pos]:
+                            bw_.put((mag[pos] >> 0) & 1, 1)
+                        else:
+                            consumed += 1
+                        pos += 1
+                    r -= 16
+                code, ln = ac[(r << 4) | 1]
+                bw_.put(code, ln)
+                bw_.put(1 if int(blk[j]) > 0 else 0, 1)
+                while pos <= j:
+                    if hist[pos] and pos != j:
+                        bw_.put(mag[pos] & 1, 1)
+                    pos += 1
+            if pos <= se:
+                code, ln = ac[0x00]  # EOB, run 1
+                bw_.put(code, ln)
+                for k in range(pos, se + 1):
+                    if hist[k]:
+                        bw_.put(mag[k] & 1, 1)
+        bw_.align()
+        return bytes(bw_.out)
+
+    # headers
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, qt in enumerate(qts[:min(ncomp, 2)]):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
+            + bytes(int(v) for v in qt[ZIGZAG])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci, (_, (hi, vi), is_chroma) in enumerate(planes):
+        out += bytes([ci + 1, (hi << 4) | vi, 1 if is_chroma else 0])
+    tables = [(0x00, DC_LUMA), (0x10, AC_LUMA)]
+    if ncomp == 3:
+        tables += [(0x01, DC_CHROMA), (0x11, AC_CHROMA)]
+    for tc, (bits, vals) in tables:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
+            + bytes([tc]) + bytes(bits) + bytes(vals)
+
+    def sos(comp_specs, ss, se, ah, al, ecs):
+        ns = len(comp_specs)
+        seg = bytearray(b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns))
+        for cid, tdta in comp_specs:
+            seg += bytes([cid, tdta])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return bytes(seg) + ecs
+
+    all_dc = [(ci + 1, ((1 if ci else 0) << 4) | 0) for ci in range(ncomp)]
+    out += sos(all_dc, 0, 0, 0, 1, dc_scan(1, refine=False))
+    for ci in range(ncomp):
+        spec = [(ci + 1, 1 if ci else 0)]
+        out += sos(spec, 1, 5, 0, 1, ac_first_scan(ci, 1, 5, 1))
+    for ci in range(ncomp):
+        spec = [(ci + 1, 1 if ci else 0)]
+        out += sos(spec, 6, 63, 0, 1, ac_first_scan(ci, 6, 63, 1))
+    out += sos(all_dc, 0, 0, 1, 0, dc_scan(0, refine=True))
+    for ci in range(ncomp):
+        spec = [(ci + 1, 1 if ci else 0)]
+        out += sos(spec, 1, 5, 1, 0, ac_refine_scan(ci, 1, 5, 0))
+    for ci in range(ncomp):
+        spec = [(ci + 1, 1 if ci else 0)]
+        out += sos(spec, 6, 63, 1, 0, ac_refine_scan(ci, 6, 63, 0))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------- decoder
 
 
@@ -463,15 +667,41 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
+def _comp_used_blocks(h, w, hi, vi, hmax, vmax):
+    """Block rows/cols actually CODED for a component in a
+    non-interleaved scan (spec A.2.2): ceil of the component's true
+    sample dims over 8 — smaller than the MCU-padded grid."""
+    cw = -(-(w * hi) // hmax)
+    ch = -(-(h * vi) // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next real marker at/after ``pos`` (skips
+    stuffed 0xFF00 and RSTn)."""
+    n = len(data)
+    while pos < n - 1:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            if 0xD0 <= data[pos + 1] <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (h, w) or (h, w, 3) uint8 pixels."""
+    """Baseline (SOF0/1) or progressive (SOF2) JFIF bytes ->
+    (h, w) or (h, w, 3) uint8 pixels."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple] = {}
     frame = None
+    progressive = False
     restart_interval = 0
+    coef = None  # progressive: per-component coefficient grids
     n = len(data)
     while pos < n:
         if data[pos] != 0xFF:
@@ -503,7 +733,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raster = np.empty(64, dtype=np.int64)
                 raster[ZIGZAG] = vals  # stored in zigzag order
                 qt[tq] = raster
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -514,11 +745,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq_ = seg[6 + 3 * i:9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq_))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02x}; "
-                "progressive/arithmetic not supported)"
+                f"unsupported JPEG (SOF marker 0x{marker:02x}; "
+                "lossless/arithmetic/hierarchical not supported)"
             )
         elif marker == 0xC4:  # DHT (possibly several tables)
             p = 0
@@ -540,12 +771,170 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tdta = seg[1 + 2 * i:3 + 2 * i]
                 scan.append((cs, tdta >> 4, tdta & 0xF))
             h, w, comps = frame
-            return _decode_scan(
-                data, pos + seg_len, h, w, comps, scan, qt, huff,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    data, pos + seg_len, h, w, comps, scan, qt, huff,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            if coef is None:
+                coef = {
+                    c[0]: np.zeros(
+                        (mcus_y * c[2], mcus_x * c[1], 64), dtype=np.int64
+                    )
+                    for c in comps
+                }
+            pos = _progressive_scan(
+                data, pos + seg_len, h, w, comps, scan, huff, coef,
+                ss, se, ah, al, restart_interval,
             )
+            continue
         pos += seg_len
+    if progressive and coef is not None:
+        h, w, comps = frame
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        return _reconstruct(
+            h, w, comps, [coef[c[0]] for c in comps], qt, hmax, vmax
+        )
     raise ValueError("no SOS marker found")
+
+
+def _progressive_scan(
+    data, pos, h, w, comps, scan, huff, coef, ss, se, ah, al,
+    restart_interval,
+):
+    """Decode one progressive scan's ECS into the coefficient grids;
+    returns the position of the next marker after the ECS.
+    Implements spec G.2: DC first/refine (interleaved or not), AC
+    first with EOB runs, AC refine with correction bits."""
+    by_id = {c[0]: c for c in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    br = _BitReader(data, pos)
+    p1, m1 = 1 << al, -1 << al
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("corrupt scan header: DC scan with Se != 0")
+        if len(scan) > 1:  # interleaved MCU order over padded grids
+            pred = [0] * len(scan)
+            for m in range(mcus_y * mcus_x):
+                if restart_interval and m and m % restart_interval == 0:
+                    br.restart()
+                    pred = [0] * len(scan)
+                my, mx = divmod(m, mcus_x)
+                for ci, (cs, td, _ta) in enumerate(scan):
+                    _, hi, vi, _ = by_id[cs]
+                    grid = coef[cs]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            blk = grid[my * vi + by, mx * hi + bx]
+                            if ah == 0:
+                                s = _decode_huff(br, huff[(0, td)])
+                                pred[ci] += _extend(br.bits(s), s)
+                                blk[0] = pred[ci] << al
+                            elif br.bit():
+                                blk[0] |= p1
+        else:
+            cs, td, _ta = scan[0]
+            _, hi, vi, _ = by_id[cs]
+            brows, bcols = _comp_used_blocks(h, w, hi, vi, hmax, vmax)
+            grid = coef[cs]
+            pred = 0
+            for i in range(brows * bcols):
+                if restart_interval and i and i % restart_interval == 0:
+                    br.restart()
+                    pred = 0
+                by, bx = divmod(i, bcols)
+                blk = grid[by, bx]
+                if ah == 0:
+                    s = _decode_huff(br, huff[(0, td)])
+                    pred += _extend(br.bits(s), s)
+                    blk[0] = pred << al
+                elif br.bit():
+                    blk[0] |= p1
+        return _next_marker(data, br.pos)
+
+    # AC scan: single component, block raster order over USED dims
+    if len(scan) != 1:
+        raise ValueError("corrupt scan header: interleaved AC scan")
+    cs, _td, ta = scan[0]
+    _, hi, vi, _ = by_id[cs]
+    ac_t = huff[(1, ta)]
+    brows, bcols = _comp_used_blocks(h, w, hi, vi, hmax, vmax)
+    grid = coef[cs]
+    eobrun = 0
+    for i in range(brows * bcols):
+        if restart_interval and i and i % restart_interval == 0:
+            br.restart()
+            eobrun = 0
+        by, bx = divmod(i, bcols)
+        blk = grid[by, bx]
+        if ah == 0:  # first scan for this band
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _decode_huff(br, ac_t)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                k += r
+                blk[k] = _extend(br.bits(s), s) << al
+                k += 1
+        else:  # refinement scan (libjpeg decode_mcu_AC_refine shape)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _decode_huff(br, ac_t)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        # r == 15: skip 16 zero-history coefficients
+                        val = 0
+                    else:  # s == 1: a newly nonzero coefficient
+                        val = p1 if br.bit() else m1
+                    while k <= se:
+                        c = int(blk[k])
+                        if c != 0:
+                            if br.bit() and (c & p1) == 0:
+                                blk[k] = c + (p1 if c > 0 else m1)
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if val and k <= se:
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0 and br.bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c > 0 else m1)
+                    k += 1
+                eobrun -= 1
+    return _next_marker(data, br.pos)
 
 
 def _decode_scan(data, pos, h, w, comps, scan, qt, huff, restart_interval):
@@ -592,12 +981,17 @@ def _decode_scan(data, pos, h, w, comps, scan, qt, huff, restart_interval):
                         zz[k] = _extend(br.bits(s), s)
                         k += 1
                     grid[my * vi + by, mx * hi + bx] = zz
-    # dequantize + IDCT, vectorized over all blocks per component
+    ordered = [by_id[cs] for cs, _td, _ta in scan]
+    return _reconstruct(h, w, ordered, coef, qt, hmax, vmax)
+
+
+def _reconstruct(h, w, comps, grids, qt, hmax, vmax):
+    """Coefficient grids -> pixels: dequantize + IDCT vectorized over
+    all blocks per component, replicate-upsample, crop, color-convert.
+    ``comps`` = [(cid, hi, vi, tq)] aligned with ``grids``."""
     planes = []
-    for ci, (cs, _td, _ta) in enumerate(scan):
-        _, hi, vi, tq_ = by_id[cs]
+    for (cid, hi, vi, tq_), c in zip(comps, grids):
         q = qt[tq_][ZIGZAG]  # zigzag-ordered dequant vector
-        c = coef[ci]
         bh, bw_ = c.shape[:2]
         dq = (c * q).reshape(-1, 64)[:, _UNZIG].reshape(-1, 8, 8)
         px = np.einsum("xu,nuv,yv->nxy", _DCT.T, dq.astype(np.float64),

@@ -9,9 +9,10 @@ through the from-scratch stdlib codec (sources/png.py — zlib inflate +
 all five row unfilters); JPEG payloads through the from-scratch
 baseline-DCT codec (sources/jpeg.py — full marker/Huffman/IDCT path,
 gray + YCbCr 4:4:4/4:2:0, restart markers), yielding true
-width/height/channels and the mean over decoded PIXELS. Payloads in
-any other format (video/audio containers, progressive JPEG) fall back
-to a deterministic md5-derived stub (clearly marked below; md5 so the
+width/height/channels and the mean over decoded PIXELS — JPEG covers
+baseline AND progressive (SOF2). Payloads in any other format
+(video/audio containers) fall back to a deterministic md5-derived
+stub (clearly marked below; md5 so the
 DuckDB oracle can reproduce every field) — the seam where an ffmpeg
 install drops in without touching the Spark plumbing.
 """
@@ -54,8 +55,8 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
 
 def _decode_one(payload: bytes) -> tuple[int, int, int, float]:
     """Real PNG/JPEG decode when the signature matches; md5 stub for
-    anything else (video/audio seam). A malformed or non-baseline
-    stream with a JPEG signature also drops to the stub rather than
+    anything else (video/audio seam). A malformed/truncated stream
+    with a JPEG signature also drops to the stub rather than
     failing the whole Arrow batch — at 100 TB of crawl data a few
     truncated images per partition are a certainty."""
     if payload[:8] == PNG_SIG:
@@ -120,9 +121,15 @@ def _forge_jpeg_pix(doc_id: int):
 
 
 def forge_jpeg(doc_id: int) -> bytes:
-    """doc_id -> deterministic baseline JPEG payload (varied size,
-    gray/4:4:4/4:2:0, quality, restart interval)."""
+    """doc_id -> deterministic JPEG payload (varied size,
+    gray/4:4:4/4:2:0, quality, restart interval; every 5th document is
+    PROGRESSIVE — same quantized coefficients, so expected_jpeg_stats
+    is transport-agnostic and the oracle needs no special case)."""
+    from ..sources.jpeg import encode_jpeg_progressive
+
     pix, quality, sub, rst = _forge_jpeg_pix(doc_id)
+    if int(doc_id) % 5 == 0:
+        return encode_jpeg_progressive(pix, quality=quality, subsample=sub)
     return encode_jpeg(pix, quality=quality, subsample=sub,
                        restart_interval=rst)
 

@@ -160,13 +160,17 @@ def test_sixteen_bit_dqt_tables_decode():
     assert np.array_equal(got, J.decode_jpeg(b))
 
 
-def test_progressive_rejected_loudly():
+def test_unsupported_sof_rejected_loudly():
+    # progressive (SOF2) is supported since round 5; lossless (SOF3)
+    # and arithmetic (SOF9) remain loud seams
     rng = np.random.RandomState(17)
-    b = bytearray(J.encode_jpeg(rng.randint(0, 256, (16, 16), np.uint8)))
-    i = bytes(b).find(b"\xff\xc0")
-    b[i + 1] = 0xC2  # SOF0 -> SOF2
-    with pytest.raises(NotImplementedError, match="progressive|SOF"):
-        J.decode_jpeg(bytes(b))
+    base = bytes(J.encode_jpeg(rng.randint(0, 256, (16, 16), np.uint8)))
+    i = base.find(b"\xff\xc0")
+    for sof in (0xC3, 0xC9):
+        b = bytearray(base)
+        b[i + 1] = sof
+        with pytest.raises(NotImplementedError, match="SOF"):
+            J.decode_jpeg(bytes(b))
 
 
 def test_not_a_jpeg_rejected():
@@ -194,3 +198,68 @@ def test_quality_monotone_size():
     pix = rng.randint(0, 256, (64, 64, 3), dtype=np.uint8)
     sizes = [len(J.encode_jpeg(pix, quality=q)) for q in (10, 50, 90)]
     assert sizes[0] < sizes[1] < sizes[2]
+
+
+def test_progressive_equals_baseline_and_analytic():
+    """Progressive (SOF2: spectral selection + successive
+    approximation, EOB runs, refinement correction bits) transports
+    the SAME quantized coefficients as baseline — decode must be
+    bit-identical to both the baseline decode and expected_decode."""
+    rng = np.random.RandomState(31)
+    for shape, q, sub in [((32, 32), 75, "444"), ((37, 53), 50, "444"),
+                          ((45, 61, 3), 75, "420"), ((40, 56, 3), 90, "444"),
+                          ((16, 16, 3), 25, "420"), ((9, 23, 3), 10, "420")]:
+        pix = rng.randint(0, 256, shape, dtype=np.uint8)
+        gp = J.decode_jpeg(J.encode_jpeg_progressive(pix, quality=q,
+                                                     subsample=sub))
+        gb = J.decode_jpeg(J.encode_jpeg(pix, quality=q, subsample=sub))
+        assert np.array_equal(gp, gb), (shape, q, sub)
+        assert np.array_equal(
+            gp, J.expected_decode(pix, quality=q, subsample=sub)
+        ), (shape, q, sub)
+
+
+def test_progressive_zrl_in_refinement():
+    """A sparse spectrum with a newly-nonzero coefficient >32
+    zero-history positions past the last strong one forces ZRL
+    symbols inside the REFINEMENT scan (the hairiest G.2 path:
+    correction bits interleave with the 16-zero skips)."""
+    q = 50
+    qt = J.quality_scale(J.QT_LUMA, q).reshape(8, 8).astype(float)
+    M = J._dct_matrix()
+    blocks = []
+    rng = np.random.RandomState(5)
+    for trial in range(8):
+        C = np.zeros((8, 8))
+        zz = J.ZIGZAG
+        C.flat[zz[1]] = 41.0   # strong low coef (odd -> refinement bit)
+        C.flat[zz[2]] = 7.0    # another hist coef
+        far = 40 + int(rng.randint(0, 20))
+        C.flat[zz[far]] = 1.0  # newly nonzero, ~37+ zero-histories away
+        blk = M.T @ (C * qt) @ M
+        blocks.append(np.clip(np.floor(blk + 128.0 + 0.5), 0, 255))
+    pix = np.hstack([np.vstack(blocks[:4]), np.vstack(blocks[4:])]).astype(
+        np.uint8
+    )
+    gp = J.decode_jpeg(J.encode_jpeg_progressive(pix, quality=q,
+                                                 subsample="444"))
+    assert np.array_equal(
+        gp, J.expected_decode(pix, quality=q, subsample="444")
+    )
+
+
+def test_progressive_multimodal_integration(spark):
+    """decode_media reports real stats for progressive payloads too
+    (the former NotImplementedError -> md5-stub path is gone)."""
+    from geo_inference_spark.text.multimodal import decode_media
+
+    rng = np.random.RandomState(37)
+    pix = rng.randint(0, 256, (30, 22, 3), dtype=np.uint8)
+    b = J.encode_jpeg_progressive(pix, quality=70, subsample="420")
+    df = spark.createDataFrame([(1, b)], schema="page_id long, html binary")
+    got = decode_media(df).collect()[0]
+    exp = J.expected_decode(pix, quality=70, subsample="420")
+    assert (got["width"], got["height"], got["channels"]) == (22, 30, 3)
+    assert got["mean_byte"] == float(
+        np.floor(exp.astype(np.float64).mean() * 1e6 + 0.5) / 1e6
+    )
