@@ -990,6 +990,56 @@ def _media_decode_jpeg_oracle() -> str:
     )
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common-Crawl ingest edge: documents forged into a real
+    .warc.gz (one gzip member per record — the splittable layout),
+    then scanned back by the DISTRIBUTED WARC reader (driver only
+    stats the file; each task owns a byte range and synchronizes to
+    verified member boundaries). Value-exact per-row check of url,
+    byte length and payload md5 — the north rule's byte-identity
+    invariant at the ingest step."""
+    import hashlib
+    from datetime import datetime, timezone
+
+    from geo_inference_spark.sources.warc import read_warc, write_warc
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    path = f"/tmp/graft_warc_ingest_{sf_tag}.warc.gz"
+    rows = [
+        (
+            f"https://example.org/doc/{int(d)}",
+            datetime(2024, 1, 1, tzinfo=timezone.utc),
+            t.encode("utf-8"),
+        )
+        for d, t in zip(docs["doc_id"], docs["text"])
+    ]
+    # always rewrite: a stale fixture from an older writer must never
+    # poison the gate (same rule as the TIFF codec-chain fixture)
+    write_warc(rows, path, compress=True)
+    out = read_warc(spark, path)
+    return out.select(
+        "url",
+        F.expr("octet_length(html)").cast("long").alias("n_bytes"),
+        F.md5("html").alias("payload_md5"),
+    ).orderBy("url")
+
+
+def _warc_ingest_oracle() -> str:
+    return """
+        SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+                 AS url,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS payload_md5
+        FROM documents ORDER BY url
+    """
+
+
 # --------------------------------------------------------------- raster ops
 
 def q_overlap_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1149,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_byte_stats": q_media_bytes,
         "media_decode": q_media_decode,
         "media_decode_jpeg": q_media_decode_jpeg,
+        "warc_ingest": q_warc_ingest,
         "raster_overlap_polygonize": q_overlap_polygonize,
         "raster_scan_polygonize": q_raster_scan_polygonize,
         "rel_q1_pricing_summary": R.q1_pricing_summary,
@@ -1301,6 +1352,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_topk_salted": _cell_topk_salted_oracle(),
         "media_decode": _media_decode_oracle(),
         "media_decode_jpeg": _media_decode_jpeg_oracle(),
+        "warc_ingest": _warc_ingest_oracle(),
         "raster_overlap_polygonize": _overlap_polygonize_oracle(),
         "raster_scan_polygonize": _raster_scan_polygonize_oracle(),
         "events_hourly": """

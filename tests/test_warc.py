@@ -1,0 +1,88 @@
+"""WARC source (sources/warc.py): distributed splittable scan of
+Common-Crawl-style archives, gzip (member-per-record) and plain."""
+
+from datetime import datetime, timezone
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geo_inference_spark.sources.warc import read_warc, write_warc
+
+
+def _rows(n, seed=0, big_every=0):
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        size = 200 + int(rng.randint(0, 300))
+        if big_every and i % big_every == 1:
+            size = 300_000  # spans multiple split ranges
+        payload = bytes(rng.randint(0, 256, size, dtype=np.uint8))
+        # embed the gzip magic + fake WARC magic INSIDE a payload to
+        # tempt the boundary scanner into a false positive
+        if i == 2:
+            payload = b"\x1f\x8b\x08xx" + b"WARC/1.0\r\nfake\r\n\r\n" + payload
+        ts = datetime(2024, 1, 1, i % 24, 0, 0, tzinfo=timezone.utc)
+        rows.append((f"https://example.org/p/{i}", ts, payload))
+    return rows
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_roundtrip_all_split_counts(spark, tmp_path, compress):
+    rows = _rows(40, seed=3, big_every=7)
+    path = str(tmp_path / ("a.warc.gz" if compress else "a.warc"))
+    assert write_warc(rows, path, compress=compress) == 40
+    exp = {
+        u: (ts, p) for u, ts, p in rows
+    }
+    for n_splits in (1, 3, 8):
+        got = read_warc(spark, path, n_splits=n_splits).collect()
+        assert len(got) == 40, (compress, n_splits)
+        for r in got:
+            ts, p = exp[r["url"]]
+            assert bytes(r["html"]) == p, r["url"]
+            assert r["warc_ts"].replace(tzinfo=timezone.utc) == ts
+        # each record owned by exactly one range (offsets unique)
+        assert len({r["offset"] for r in got}) == 40
+
+
+def test_each_range_owns_disjoint_records(spark, tmp_path):
+    """Ownership is by boundary position: the union over ranges is a
+    partition of the record set (no dup, no loss) even when a record
+    body crosses multiple ranges."""
+    rows = _rows(25, seed=9, big_every=4)
+    path = str(tmp_path / "b.warc.gz")
+    write_warc(rows, path, compress=True)
+    import os
+
+    from geo_inference_spark.sources.warc import _scan_range_gz
+
+    size = os.path.getsize(path)
+    bounds = np.linspace(0, size, 7, dtype=np.int64)
+    seen = []
+    for i in range(6):
+        seen += [
+            r[0] for r in _scan_range_gz(path, int(bounds[i]),
+                                         int(bounds[i + 1]))
+        ]
+    assert sorted(seen) == sorted(u for u, _, _ in rows)
+
+
+def test_pages_table_from_warc(spark, tmp_path):
+    """The ingest edge: synthetic pages -> WARC -> read_warc ->
+    byte-identical html per url (the north rule's per-row invariant
+    at the ingest step)."""
+    from geo_inference_spark.sources.pages import pages_pdf
+
+    pdf = pages_pdf(np.arange(60, dtype=np.uint64))
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"]).dt.tz_localize("UTC")
+    path = str(tmp_path / "pages.warc.gz")
+    write_warc(pdf[["url", "warc_ts", "html"]], path)
+    got = read_warc(spark, path, n_splits=5).toPandas()
+    assert len(got) == 60
+    merged = got.merge(pdf, on="url", suffixes=("_got", ""))
+    assert len(merged) == 60
+    assert all(
+        bytes(a) == bytes(b)
+        for a, b in zip(merged["html_got"], merged["html"])
+    )
