@@ -1030,6 +1030,72 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def q_warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL ingest chain: documents wrapped as HTML pages, written
+    to a real .warc.gz, scanned back by the distributed WARC reader,
+    then the html->text extraction UDF recovers the text — per-row
+    md5(extracted) must equal md5(documents.text) (the north rule's
+    byte-identical-extracted-text invariant, carried through the
+    entire crawl->archive->scan->extract path)."""
+    import hashlib
+    from datetime import datetime, timezone
+
+    import pandas as pd
+
+    from geo_inference_spark.sources.pages import (
+        build_html,
+        extract_text_bytes,
+    )
+    from geo_inference_spark.sources.warc import read_warc, write_warc
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    ids = docs["doc_id"].to_numpy(np.uint64)
+    htmls = build_html(ids, docs["text"].to_numpy())
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    path = f"/tmp/graft_warc_pipeline_{sf_tag}.warc.gz"
+    write_warc(
+        [
+            (f"https://example.org/doc/{int(d)}",
+             datetime(2024, 1, 1, tzinfo=timezone.utc), bytes(hh))
+            for d, hh in zip(ids, htmls)
+        ],
+        path,
+        compress=True,
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            texts = [extract_text_bytes(bytes(h)) for h in pdf["html"]]
+            yield pd.DataFrame({
+                "url": pdf["url"],
+                "text_len": [len(t) for t in texts],
+                "text_md5": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest()
+                    for t in texts
+                ],
+            })
+
+    out = read_warc(spark, path).mapInPandas(
+        extract, "url string, text_len long, text_md5 string"
+    )
+    return out.orderBy("url")
+
+
+def _warc_pipeline_oracle() -> str:
+    return """
+        SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+                 AS url,
+               CAST(length(text) AS BIGINT) AS text_len,
+               md5(text) AS text_md5
+        FROM documents ORDER BY url
+    """
+
+
 def _warc_ingest_oracle() -> str:
     return """
         SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
@@ -1200,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "media_decode_jpeg": q_media_decode_jpeg,
         "warc_ingest": q_warc_ingest,
+        "warc_pipeline": q_warc_pipeline,
         "raster_overlap_polygonize": q_overlap_polygonize,
         "raster_scan_polygonize": q_raster_scan_polygonize,
         "rel_q1_pricing_summary": R.q1_pricing_summary,
@@ -1353,6 +1420,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode": _media_decode_oracle(),
         "media_decode_jpeg": _media_decode_jpeg_oracle(),
         "warc_ingest": _warc_ingest_oracle(),
+        "warc_pipeline": _warc_pipeline_oracle(),
         "raster_overlap_polygonize": _overlap_polygonize_oracle(),
         "raster_scan_polygonize": _raster_scan_polygonize_oracle(),
         "events_hourly": """
