@@ -1096,6 +1096,55 @@ def _warc_pipeline_oracle() -> str:
     """
 
 
+def q_warc_indexed_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-index random access: the archive analogue of partition
+    pruning. A (url, offset, length) index is written alongside the
+    .warc.gz; fetching every 7th document touches ONLY those members
+    via seek+read — the file is never scanned. Value-exact against
+    the documents table filtered the same way."""
+    from datetime import datetime, timezone
+
+    from geo_inference_spark.sources.warc import (
+        fetch_warc_records,
+        write_warc_with_index,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    path = f"/tmp/graft_warc_idx_{sf_tag}.warc.gz"
+    idx = write_warc_with_index(
+        [
+            (f"https://example.org/doc/{int(d)}",
+             datetime(2024, 1, 1, tzinfo=timezone.utc),
+             t.encode("utf-8"))
+            for d, t in zip(docs["doc_id"], docs["text"])
+        ],
+        path,
+    )
+    want = idx[(docs["doc_id"].to_numpy() % 7) == 0]
+    out = fetch_warc_records(spark, path, spark.createDataFrame(want))
+    return out.select(
+        "url",
+        F.expr("octet_length(html)").cast("long").alias("n_bytes"),
+        F.md5("html").alias("payload_md5"),
+    ).orderBy("url")
+
+
+def _warc_indexed_fetch_oracle() -> str:
+    return """
+        SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+                 AS url,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS payload_md5
+        FROM documents WHERE doc_id % 7 = 0 ORDER BY url
+    """
+
+
 def _warc_ingest_oracle() -> str:
     return """
         SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
@@ -1267,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_jpeg": q_media_decode_jpeg,
         "warc_ingest": q_warc_ingest,
         "warc_pipeline": q_warc_pipeline,
+        "warc_indexed_fetch": q_warc_indexed_fetch,
         "raster_overlap_polygonize": q_overlap_polygonize,
         "raster_scan_polygonize": q_raster_scan_polygonize,
         "rel_q1_pricing_summary": R.q1_pricing_summary,
@@ -1421,6 +1471,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_jpeg": _media_decode_jpeg_oracle(),
         "warc_ingest": _warc_ingest_oracle(),
         "warc_pipeline": _warc_pipeline_oracle(),
+        "warc_indexed_fetch": _warc_indexed_fetch_oracle(),
         "raster_overlap_polygonize": _overlap_polygonize_oracle(),
         "raster_scan_polygonize": _raster_scan_polygonize_oracle(),
         "events_hourly": """

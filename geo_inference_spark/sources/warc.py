@@ -261,6 +261,61 @@ def _scan_range_plain(path: str, start: int, end: int):
                 cur = 0
 
 
+def write_warc_with_index(rows, path: str, compress: bool = True):
+    """write_warc + a CDX-style index: returns a pandas DataFrame
+    (url, offset, length) — the offset/length of each record's gzip
+    member (or plain record), i.e. exactly what Common Crawl's CDXJ
+    index stores so consumers can fetch single records with ranged
+    reads instead of scanning the archive."""
+    if isinstance(rows, pd.DataFrame):
+        rows = list(zip(rows["url"], rows["warc_ts"], rows["html"]))
+    idx = []
+    with open(path, "wb") as f:
+        for url, ts, payload in rows:
+            if hasattr(ts, "to_pydatetime"):
+                ts = ts.to_pydatetime()
+            rec = _record_bytes(str(url), ts, bytes(payload))
+            if compress:
+                co = zlib.compressobj(6, zlib.DEFLATED, 31)
+                rec = co.compress(rec) + co.flush()
+            off = f.tell()
+            f.write(rec)
+            idx.append((str(url), off, len(rec)))
+    return pd.DataFrame(idx, columns=["url", "offset", "length"])
+
+
+def fetch_warc_records(
+    spark: SparkSession, path: str, index: DataFrame
+) -> DataFrame:
+    """Random-access record fetch: ``index`` rows (offset long,
+    length long) -> the records at those member offsets, WITHOUT
+    scanning the archive — the CDX-index pattern (archive analogue of
+    partition pruning: touch only the bytes the query needs). Each
+    task seeks and reads exactly its assigned (offset, length)
+    ranges; a task fetching k records reads k members, not the file."""
+    compressed = path.endswith(".gz")
+
+    def fetch(batches):
+        for pdf in batches:
+            rows = []
+            with open(path, "rb") as f:
+                for off, ln in zip(pdf["offset"], pdf["length"]):
+                    f.seek(int(off))
+                    raw = f.read(int(ln))
+                    if compressed:
+                        raw = zlib.decompress(raw, 31)
+                    rec = _parse_record(raw)
+                    if rec is not None:
+                        url, ts, payload, rid, _ = rec
+                        rows.append((url, ts, payload, rid, int(off)))
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "warc_ts", "html", "record_id", "offset"],
+            )
+
+    return index.select("offset", "length").mapInPandas(fetch, WARC_SCHEMA)
+
+
 def read_warc(
     spark: SparkSession, path: str, n_splits: int | None = None
 ) -> DataFrame:

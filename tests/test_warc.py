@@ -86,3 +86,36 @@ def test_pages_table_from_warc(spark, tmp_path):
         bytes(a) == bytes(b)
         for a, b in zip(merged["html_got"], merged["html"])
     )
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_indexed_random_access_fetch(spark, tmp_path, compress):
+    """CDX-index pattern: fetch ONLY the indexed records by
+    (offset, length) ranged reads — results equal the filtered full
+    scan, byte for byte."""
+    from geo_inference_spark.sources.warc import (
+        fetch_warc_records,
+        write_warc_with_index,
+    )
+
+    rows = _rows(30, seed=11)
+    path = str(tmp_path / ("i.warc.gz" if compress else "i.warc"))
+    idx = write_warc_with_index(rows, path, compress=compress)
+    assert len(idx) == 30
+    want = idx[idx.index % 7 == 0]  # every 7th record
+    got = fetch_warc_records(
+        spark, path, spark.createDataFrame(want)
+    ).collect()
+    assert len(got) == len(want)
+    exp = {u: p for u, _, p in rows}
+    for r in got:
+        assert bytes(r["html"]) == exp[r["url"]]
+    # offsets agree with the full distributed scan's record offsets
+    from geo_inference_spark.sources.warc import read_warc
+
+    scan_offs = {
+        r["url"]: r["offset"]
+        for r in read_warc(spark, path, n_splits=4).collect()
+    }
+    for _, row in want.iterrows():
+        assert scan_offs[row["url"]] == row["offset"]
