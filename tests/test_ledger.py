@@ -292,3 +292,58 @@ def test_salted_topk_matches_plain_window(spark):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+
+def test_resumable_warc_ingest_crash_resume(spark, tmp_path, monkeypatch):
+    """The north-star birth step: WARC archive -> pages table
+    (url, warc_ts, html, text, lang) with one ledger commit per byte
+    range. Crash after two units; resume runs only the rest; the
+    finalized table equals a straight distributed scan + extract, and
+    the extracted text is byte-identical per url."""
+    from geo_inference_spark.plans.ingest_job import (
+        finalize_warc_ingest,
+        resumable_warc_ingest,
+    )
+    from geo_inference_spark.sources.pages import pages_pdf
+    from geo_inference_spark.sources.warc import write_warc
+
+    pdf = pages_pdf(np.arange(120, dtype=np.uint64))
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"]).dt.tz_localize("UTC")
+    path = str(tmp_path / "in.warc.gz")
+    write_warc(pdf[["url", "warc_ts", "html"]], path)
+    led = CheckpointLedger(spark, str(tmp_path / "led"))
+    out = str(tmp_path / "pages")
+
+    import geo_inference_spark.plans.ingest_job as IJ
+
+    real_keys = IJ.unit_keys
+    calls = {"n": 0}
+    orig_run = run_with_ledger
+
+    def flaky_run(spark_, ledger_, stage_, units_, run_unit_):
+        def wrapped(key):
+            calls["n"] += 1
+            if calls["n"] == 3:
+                raise RuntimeError("simulated crash")
+            return run_unit_(key)
+
+        return orig_run(spark_, ledger_, stage_, units_, wrapped)
+
+    monkeypatch.setattr(IJ, "run_with_ledger", flaky_run)
+    with pytest.raises(RuntimeError):
+        resumable_warc_ingest(spark, path, out, led, "w", n_units=4,
+                              splits_per_unit=3)
+    assert led.done("warc_ingest").count() == 2
+
+    monkeypatch.setattr(IJ, "run_with_ledger", orig_run)
+    ran = resumable_warc_ingest(spark, path, out, led, "w", n_units=4,
+                                splits_per_unit=3)
+    assert len(ran) == 2  # only the unfinished units recomputed
+    got = finalize_warc_ingest(spark, out, n_units=4).toPandas()
+    assert len(got) == 120
+    assert set(got.columns) >= {"url", "warc_ts", "html", "text", "lang"}
+    merged = got.merge(pdf, on="url", suffixes=("_got", ""))
+    assert len(merged) == 120
+    # byte-identity invariant end-to-end
+    assert (merged["text_got"] == merged["text"]).all()
+    assert merged["lang_got"].notna().all()
