@@ -396,6 +396,7 @@ def encode_jpeg_progressive(
     pix: np.ndarray,
     quality: int = 75,
     subsample: str = "420",
+    restart_interval: int = 0,
 ) -> bytes:
     """uint8 gray/RGB -> progressive (SOF2) JFIF bytes.
 
@@ -436,11 +437,29 @@ def encode_jpeg_progressive(
 
     enc_dc = [_huff_sizes_codes(*DC_LUMA), _huff_sizes_codes(*DC_CHROMA)]
     enc_ac = [_huff_sizes_codes(*AC_LUMA), _huff_sizes_codes(*AC_CHROMA)]
+    ri = int(restart_interval)
+
+    def _maybe_restart(bw_, ecs, unit, rst, on_reset):
+        """Every ri units: byte-align, flush, emit RSTn, reset state.
+        Restart units are MCUs for the interleaved DC scan and blocks
+        for the non-interleaved AC scans (spec G.1.4 via A.2.4)."""
+        if ri and unit and unit % ri == 0:
+            bw_.align()
+            ecs += bytes(bw_.out)
+            bw_.out.clear()
+            ecs += bytes([0xFF, 0xD0 + rst[0]])
+            rst[0] = (rst[0] + 1) % 8
+            on_reset()
 
     def dc_scan(al, refine):
         bw_ = _BitWriter()
+        ecs = bytearray()
+        rst = [0]
         pred = [0] * ncomp
         for m in range(mcus_y * mcus_x):
+            def _reset():
+                pred[:] = [0] * ncomp
+            _maybe_restart(bw_, ecs, m, rst, _reset)
             my, mx = divmod(m, mcus_x)
             for ci, (_, (hi, vi), _c) in enumerate(planes):
                 t = 1 if ci else 0
@@ -461,15 +480,19 @@ def encode_jpeg_progressive(
                                 diff if diff >= 0 else diff + (1 << s) - 1, s
                             )
         bw_.align()
-        return bytes(bw_.out)
+        ecs += bytes(bw_.out)
+        return bytes(ecs)
 
     def ac_first_scan(ci, ss, se, al):
         t = 1 if ci else 0
         ac = enc_ac[t]
         bw_ = _BitWriter()
+        ecs = bytearray()
+        rst = [0]
         brows, bcols = used_dims[ci]
         grid = comp_coef[ci]
         for i in range(brows * bcols):
+            _maybe_restart(bw_, ecs, i, rst, lambda: None)
             by, bx = divmod(i, bcols)
             blk = grid[by, bx]
             r = 0
@@ -493,7 +516,8 @@ def encode_jpeg_progressive(
                 code, ln = ac[0x00]  # EOB (run length 1)
                 bw_.put(code, ln)
         bw_.align()
-        return bytes(bw_.out)
+        ecs += bytes(bw_.out)
+        return bytes(ecs)
 
     def ac_refine_scan(ci, ss, se, al):
         """Positional simulation of the decoder's refinement walk
@@ -504,10 +528,12 @@ def encode_jpeg_progressive(
         ac = enc_ac[t]
         ah = al + 1
         bw_ = _BitWriter()
+        ecs = bytearray()
+        rst = [0]
         brows, bcols = used_dims[ci]
         grid = comp_coef[ci]
-        p1bit = al
         for i in range(brows * bcols):
+            _maybe_restart(bw_, ecs, i, rst, lambda: None)
             by, bx = divmod(i, bcols)
             blk = grid[by, bx]
             hist = [(abs(int(blk[k])) >> ah) != 0 for k in range(64)]
@@ -550,7 +576,8 @@ def encode_jpeg_progressive(
                     if hist[k]:
                         bw_.put(mag[k] & 1, 1)
         bw_.align()
-        return bytes(bw_.out)
+        ecs += bytes(bw_.out)
+        return bytes(ecs)
 
     # headers
     out = bytearray(b"\xff\xd8")
@@ -568,6 +595,8 @@ def encode_jpeg_progressive(
     for tc, (bits, vals) in tables:
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
             + bytes([tc]) + bytes(bits) + bytes(vals)
+    if ri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)
 
     def sos(comp_specs, ss, se, ah, al, ecs):
         ns = len(comp_specs)

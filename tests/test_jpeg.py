@@ -263,3 +263,26 @@ def test_progressive_multimodal_integration(spark):
     assert got["mean_byte"] == float(
         np.floor(exp.astype(np.float64).mean() * 1e6 + 0.5) / 1e6
     )
+
+
+def test_progressive_restart_intervals():
+    """Restart markers inside progressive scans (the decoder resets
+    DC predictors AND eobrun at RSTn; the encoder aligns and emits
+    markers per ri units in every scan type) — decode must equal the
+    analytic expectation and the no-restart encoding."""
+    rng = np.random.RandomState(41)
+    for shape, q, sub, ri in [((37, 53), 60, "444", 2),
+                              ((45, 61, 3), 75, "420", 3),
+                              ((24, 24), 85, "444", 1)]:
+        pix = rng.randint(0, 256, shape, dtype=np.uint8)
+        b = J.encode_jpeg_progressive(pix, quality=q, subsample=sub,
+                                      restart_interval=ri)
+        assert bytes([0xFF, 0xD0]) in b
+        got = J.decode_jpeg(b)
+        assert np.array_equal(
+            got, J.expected_decode(pix, quality=q, subsample=sub)
+        ), (shape, q, sub, ri)
+        plain = J.decode_jpeg(
+            J.encode_jpeg_progressive(pix, quality=q, subsample=sub)
+        )
+        assert np.array_equal(got, plain)
