@@ -2,13 +2,20 @@
 
 entry(spark)   — flagship: geocode documents -> broadcast PIP join vs
                  the 45-degree admin grid -> counts per area (sf0.001).
-queries()      — one callable per implemented operator (SURVEY.md §2).
+queries()      — one callable per implemented operator (SURVEY.md §2
+                 plus the LLM-pipeline / ingest surface): 60 queries.
 oracle_sql()   — DuckDB-equivalent SQL per query (same column names).
-                 Every query is value-exact (rows+schema+hash): the
-                 two round-2 no_oracle rows are closed — ann_ivf_topk
-                 embeds its driver-trained centroids as SQL literals,
-                 pages_extract_identity is pinned by a literal VALUES
-                 twin of its invariant.
+                 Every query is value-exact (rows+schema+hash).
+                 Non-SQL semantics get exact literal twins instead of
+                 weaker rows-only checks: ann_ivf_topk embeds its
+                 driver-trained centroids as SQL literals; the raster
+                 codec chains embed VALUES from the dense
+                 single-process reference pipeline; media_decode_jpeg
+                 embeds VALUES from the analytic quantize->IDCT
+                 expectation (never the decoder's entropy path); the
+                 WARC queries hold per-row md5 byte-identity against
+                 the documents table. The full gate also passes at
+                 sf0.1 (BENCH/CORRECTNESS_sf01_r5.txt).
 """
 
 from __future__ import annotations
