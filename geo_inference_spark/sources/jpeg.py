@@ -663,6 +663,11 @@ class _BitReader:
                 self.pos += 1
             self.acc = (self.acc << 8) | b
             self.n += 8
+        # keep acc a machine-word int: without this mask it accretes
+        # every byte ever read into one ever-growing bignum, making
+        # each shift O(bytes so far) — quadratic on megabyte images
+        # and an effective hang on corrupt zero-padded tails
+        self.acc &= (1 << self.n) - 1
 
     def bit(self) -> int:
         if self.n == 0:
@@ -673,6 +678,12 @@ class _BitReader:
     def bits(self, k: int) -> int:
         if k == 0:
             return 0
+        if k > 16:
+            # no valid JPEG symbol receives more than 16 bits (DC
+            # category <= 15, AC size <= 10, EOBRUN length <= 14); a
+            # corrupt DHT can define symbols up to 255, and _fill
+            # tops out near 32 buffered bits — so this would spin
+            raise ValueError(f"corrupt JPEG: {k}-bit receive")
         while self.n < k:
             self._fill()
         self.n -= k
@@ -756,6 +767,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if marker == 0xD9:  # EOI
             break
         seg_len = struct.unpack(">H", data[pos:pos + 2])[0]
+        if seg_len < 2:
+            # a 0/1 length can't even cover its own length field, and
+            # pos += seg_len would spin on the same marker forever
+            raise ValueError("corrupt JPEG: segment length < 2")
         seg = data[pos + 2:pos + seg_len]
         if marker == 0xDB:  # DQT (possibly several tables)
             p = 0
@@ -813,6 +828,27 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tdta = seg[1 + 2 * i:3 + 2 * i]
                 scan.append((cs, tdta >> 4, tdta & 0xF))
             h, w, comps = frame
+            # corrupt-dimension guard: no real entropy coding spends
+            # fewer than ~6 bits per block (DC category + EOB), so a
+            # frame whose block count exceeds 4x the payload bytes is
+            # lying about its size — reject instead of looping over
+            # phantom MCUs (a bit-flipped SOF once claimed a 5 GB
+            # image inside a 2 KB payload; the fuzz test pins this)
+            hmax_ = max(c[1] for c in comps)
+            vmax_ = max(c[2] for c in comps)
+            if hmax_ == 0 or vmax_ == 0 or any(
+                c[1] == 0 or c[2] == 0 for c in comps
+            ):
+                raise ValueError("corrupt JPEG: zero sampling factor")
+            n_blocks = (
+                (-(-w // (8 * hmax_))) * (-(-h // (8 * vmax_)))
+                * sum(c[1] * c[2] for c in comps)
+            )
+            if n_blocks > 4 * len(data):
+                raise ValueError(
+                    "corrupt JPEG: frame dimensions exceed payload "
+                    f"capacity ({n_blocks} blocks, {len(data)} bytes)"
+                )
             if not progressive:
                 return _decode_scan(
                     data, pos + seg_len, h, w, comps, scan, qt, huff,

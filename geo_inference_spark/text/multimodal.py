@@ -20,6 +20,7 @@ install drops in without touching the Spark plumbing.
 from __future__ import annotations
 
 import hashlib
+import zlib
 from struct import error as struct_error
 
 import numpy as np
@@ -53,21 +54,31 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
     return width, height, channels, float(np.floor(mean * 1e6 + 0.5) / 1e6)
 
 
+# a corrupt stream must degrade to the stub, never fail the Arrow
+# batch: at 100 TB of crawl data truncated/bit-rotted images are a
+# statistical certainty per partition
+_DECODE_ERRORS = (
+    ValueError, NotImplementedError, IndexError, KeyError, EOFError,
+    struct_error, zlib.error,
+)
+
+
 def _decode_one(payload: bytes) -> tuple[int, int, int, float]:
     """Real PNG/JPEG decode when the signature matches; md5 stub for
-    anything else (video/audio seam). A malformed/truncated stream
-    with a JPEG signature also drops to the stub rather than
-    failing the whole Arrow batch — at 100 TB of crawl data a few
-    truncated images per partition are a certainty."""
+    anything else (video/audio container seam) and for malformed or
+    truncated streams (see _DECODE_ERRORS)."""
     if payload[:8] == PNG_SIG:
-        pix = decode_png(payload)
+        try:
+            pix = decode_png(payload)
+        except _DECODE_ERRORS:
+            return _fake_decode(payload)
         h, w, c = pix.shape
         mean = float(pix.astype(np.float64).mean())
         return w, h, c, float(np.floor(mean * 1e6 + 0.5) / 1e6)
     if payload[:3] == JPEG_SIG:
         try:
             pix = decode_jpeg(payload)
-        except (ValueError, NotImplementedError, IndexError, struct_error):
+        except _DECODE_ERRORS:
             return _fake_decode(payload)
         h, w = pix.shape[:2]
         c = 1 if pix.ndim == 2 else pix.shape[2]
@@ -175,7 +186,13 @@ def resize_media(
                 is_png = b[:8] == PNG_SIG
                 is_jpg = b[:3] == JPEG_SIG
                 if is_png or is_jpg:
-                    pix = decode_png(b) if is_png else decode_jpeg(b)
+                    try:
+                        pix = decode_png(b) if is_png else decode_jpeg(b)
+                    except _DECODE_ERRORS:
+                        # corrupt stream: pass through undecoded
+                        # instead of failing the Arrow batch
+                        rows.append((int(pid), False, None, None, b))
+                        continue
                     h, w = pix.shape[:2]
                     yi = (np.arange(out_h) * h) // out_h
                     xi = (np.arange(out_w) * w) // out_w

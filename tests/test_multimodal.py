@@ -272,3 +272,55 @@ def test_resize_media_real_jpeg(spark):
     np.testing.assert_array_equal(
         out, expected_decode(src[yi][:, xi], quality=90, subsample="444")
     )
+
+
+def test_corrupt_streams_degrade_to_stub_never_crash(spark):
+    """Crawl-grade robustness: random truncations and byte flips of
+    valid PNG/JPEG payloads must flow through decode_media (stub
+    fallback) and resize_media (decoded=false pass-through) without
+    failing the Arrow batch — and decode_jpeg/decode_png themselves
+    must only ever raise the handled error types."""
+    from geo_inference_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from geo_inference_spark.text.multimodal import (
+        _DECODE_ERRORS,
+        decode_media,
+        resize_media,
+    )
+
+    rng = np.random.RandomState(99)
+    base = [
+        encode_jpeg(rng.randint(0, 256, (24, 31, 3), np.uint8), quality=60),
+        encode_jpeg_progressive(
+            rng.randint(0, 256, (20, 20), np.uint8), quality=70,
+            subsample="444",
+        ),
+        encode_png(rng.randint(0, 256, (16, 18, 3)).astype(np.uint8)),
+    ]
+    corrupt = []
+    for b in base:
+        for cut in (10, len(b) // 3, len(b) - 3):
+            corrupt.append(b[:cut])
+        for _ in range(12):
+            bb = bytearray(b)
+            for _ in range(4):
+                bb[rng.randint(8, len(bb))] = rng.randint(0, 256)
+            corrupt.append(bytes(bb))
+    # direct codec calls: only handled error types, never a hang
+    for b in corrupt:
+        try:
+            if b[:3] == b"\xff\xd8\xff":
+                decode_jpeg(b)
+            else:
+                decode_png(b)
+        except _DECODE_ERRORS:
+            pass
+    rows = [(i, b) for i, b in enumerate(corrupt)]
+    df = spark.createDataFrame(rows, schema="page_id long, html binary")
+    got = decode_media(df).collect()
+    assert len(got) == len(corrupt)  # every row survived
+    rs = resize_media(df, out_w=8, out_h=8).collect()
+    assert len(rs) == len(corrupt)
