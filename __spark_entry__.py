@@ -997,6 +997,63 @@ def _media_decode_jpeg_oracle() -> str:
     )
 
 
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the from-scratch RIFF/WAVE codec
+    (sources/wav.py): every 9th document forges a deterministic PCM16
+    WAV executor-side; decode_audio reports true sample rate,
+    channels, sample count, duration and RMS. Oracle: literal VALUES
+    from the pre-encode samples (PCM16 roundtrips exactly — the
+    expectation never touches the decoder)."""
+    import pandas as pd
+
+    from geo_inference_spark.text.multimodal import decode_audio, forge_wav
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 9 == 0)
+    )
+
+    def forge(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "page_id": pdf["doc_id"].astype("int64"),
+                "html": [forge_wav(int(d)) for d in pdf["doc_id"]],
+            })
+
+    payloads = docs.mapInPandas(forge, "page_id long, html binary")
+    return decode_audio(payloads).orderBy("id")
+
+
+def _audio_decode_oracle() -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    from geo_inference_spark.text.multimodal import expected_wav_stats
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy()
+    rows = []
+    for d in sorted(int(v) for v in ids if v % 9 == 0):
+        rate, ch, n, dur, rms = expected_wav_stats(d)
+        rows.append(f"({d}, {rate}, {ch}, {n}, {dur!r}, {rms!r})")
+    vals = ", ".join(rows)
+    return (
+        "SELECT CAST(id AS BIGINT) AS id,"
+        " CAST(sample_rate AS INT) AS sample_rate,"
+        " CAST(channels AS INT) AS channels,"
+        " CAST(n_samples AS BIGINT) AS n_samples,"
+        " CAST(duration_ms AS DOUBLE) AS duration_ms,"
+        " CAST(rms AS DOUBLE) AS rms"
+        f" FROM (VALUES {vals})"
+        " AS t(id, sample_rate, channels, n_samples, duration_ms, rms)"
+        " ORDER BY id"
+    )
+
+
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Common-Crawl ingest edge: documents forged into a real
     .warc.gz (one gzip member per record — the splittable layout),
@@ -1321,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_byte_stats": q_media_bytes,
         "media_decode": q_media_decode,
         "media_decode_jpeg": q_media_decode_jpeg,
+        "audio_decode": q_audio_decode,
         "warc_ingest": q_warc_ingest,
         "warc_pipeline": q_warc_pipeline,
         "warc_indexed_fetch": q_warc_indexed_fetch,
@@ -1476,6 +1534,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_topk_salted": _cell_topk_salted_oracle(),
         "media_decode": _media_decode_oracle(),
         "media_decode_jpeg": _media_decode_jpeg_oracle(),
+        "audio_decode": _audio_decode_oracle(),
         "warc_ingest": _warc_ingest_oracle(),
         "warc_pipeline": _warc_pipeline_oracle(),
         "warc_indexed_fetch": _warc_indexed_fetch_oracle(),

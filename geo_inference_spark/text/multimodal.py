@@ -261,3 +261,87 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "id long, sample_rate int, channels int, n_samples long, "
+    "duration_ms double, rms double"
+)
+
+WAV_SIG = b"RIFF"
+
+
+def decode_audio(
+    df: DataFrame, id_col: str = "page_id", payload_col: str = "html",
+) -> DataFrame:
+    """REAL audio decode for PCM WAV payloads (sources/wav.py:
+    8/16/24/32-bit int + float32, any channel count): true sample
+    rate, channels, sample count, duration and RMS over decoded
+    samples. Non-WAV or corrupt payloads report sample_rate = -1 with
+    md5-derived stub stats — the ffmpeg seam for compressed audio.
+    Arrow-batched mapInPandas: one scan, no shuffle."""
+    from ..sources.wav import decode_wav
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for pid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                if b[:4] == WAV_SIG and b[8:12] == b"WAVE":
+                    try:
+                        samples, meta = decode_wav(b)
+                    except _DECODE_ERRORS:
+                        samples = None
+                    if samples is not None:
+                        rms = float(np.sqrt(np.mean(np.square(samples)))) \
+                            if samples.size else 0.0
+                        rows.append((
+                            int(pid), meta["sample_rate"],
+                            meta["channels"], meta["n_samples"],
+                            1000.0 * meta["n_samples"]
+                            / meta["sample_rate"],
+                            rms,
+                        ))
+                        continue
+                h = hashlib.md5(b).digest()
+                rows.append((
+                    int(pid), -1, 1 + h[0] % 2, len(b),
+                    float(len(b)), float(h[1]) / 255.0,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "sample_rate", "channels", "n_samples",
+                         "duration_ms", "rms"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_SCHEMA)
+
+
+def _forge_wav_samples(doc_id: int):
+    doc_id = int(doc_id)
+    rate = (8000, 16000, 44100)[doc_id % 3]
+    ch = 1 + (doc_id // 3) % 2
+    n = 500 + (doc_id * 37) % 2500
+    rng = np.random.RandomState((doc_id * 7 + 1) % (2**31 - 1))
+    samples = rng.randint(-32768, 32768, (n, ch)).astype(np.int16)
+    return samples, rate
+
+
+def forge_wav(doc_id: int) -> bytes:
+    """doc_id -> deterministic PCM16 WAV payload."""
+    from ..sources.wav import encode_wav
+
+    samples, rate = _forge_wav_samples(doc_id)
+    return encode_wav(samples, rate)
+
+
+def expected_wav_stats(doc_id: int):
+    """(sample_rate, channels, n_samples, duration_ms, rms) that
+    decode_audio must report for forge_wav(doc_id) — computed from
+    the pre-encode samples (PCM16 roundtrips exactly), never through
+    decode_wav."""
+    samples, rate = _forge_wav_samples(doc_id)
+    x = samples.astype(np.float64) / 32768.0
+    rms = float(np.sqrt(np.mean(np.square(x))))
+    n, ch = samples.shape
+    return rate, ch, n, 1000.0 * n / rate, rms
