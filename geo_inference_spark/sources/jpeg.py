@@ -1099,6 +1099,47 @@ def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
 
 
+def jpeg_stream_end(data: bytes, start: int = 0) -> int:
+    """Position just past the EOI of the JPEG stream starting at
+    ``start`` — an exact structural walk (segment lengths + entropy
+    scans skipped via marker search), so concatenated-JPEG (MJPEG
+    style) containers split without false positives on embedded
+    SOI-looking bytes."""
+    if data[start:start + 2] != b"\xff\xd8":
+        raise ValueError("not a JPEG at offset")
+    pos = start + 2
+    n = len(data)
+    while pos < n - 1:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            return pos
+        seg_len = struct.unpack(">H", data[pos:pos + 2])[0]
+        if seg_len < 2:
+            raise ValueError("corrupt JPEG: segment length < 2")
+        if marker == 0xDA:  # entropy data follows the SOS header
+            pos = _next_marker(data, pos + seg_len)
+        else:
+            pos += seg_len
+    raise ValueError("truncated JPEG: no EOI")
+
+
+def split_jpeg_frames(b: bytes) -> list[bytes]:
+    """Split a concatenated-JPEG container into complete frames."""
+    frames = []
+    pos = 0
+    while pos < len(b) - 1 and b[pos:pos + 3] == b"\xff\xd8\xff":
+        end = jpeg_stream_end(b, pos)
+        frames.append(b[pos:end])
+        pos = end
+    return frames
+
+
 # ------------------------------------------------------- analytic oracle
 
 

@@ -234,18 +234,30 @@ def sample_frames(
     id_col: str = "page_id", payload_col: str = "html",
 ) -> DataFrame:
     """Frame sampling for video payloads (1 row in -> N rows out, the
-    UDTF shape). REAL for the concatenated-PNG container: frames are
-    split on PNG signatures and every ``every``-th frame is emitted as
-    a complete decodable PNG. Payloads in any other container fall
+    UDTF shape). REAL for two containers: concatenated PNG (frames
+    split on signatures) and concatenated JPEG — the Motion-JPEG
+    shape — split by an EXACT structural walk of each frame
+    (jpeg_stream_end: segment lengths + entropy-scan skips, immune to
+    SOI-looking bytes inside entropy data). Every ``every``-th frame
+    is emitted as a complete decodable image. Other containers fall
     back to deterministic byte-slice stubs — the ffmpeg seam; either
     way the schema and Arrow batching are identical."""
+    from ..sources.jpeg import split_jpeg_frames
 
     def run(batches):
         for pdf in batches:
             rows = []
             for pid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload)
-                frames = split_png_frames(b) if b[:8] == PNG_SIG else None
+                if b[:8] == PNG_SIG:
+                    frames = split_png_frames(b)
+                elif b[:3] == JPEG_SIG:
+                    try:
+                        frames = split_jpeg_frames(b)
+                    except _DECODE_ERRORS:
+                        frames = None
+                else:
+                    frames = None
                 if frames and len(frames) > 1:
                     for i, fi in enumerate(range(0, len(frames), every)):
                         if i >= n_frames:

@@ -324,3 +324,36 @@ def test_corrupt_streams_degrade_to_stub_never_crash(spark):
     assert len(got) == len(corrupt)  # every row survived
     rs = resize_media(df, out_w=8, out_h=8).collect()
     assert len(rs) == len(corrupt)
+
+
+def test_sample_frames_mjpeg_container(spark):
+    """Concatenated-JPEG 'video' (the Motion-JPEG shape): frames split
+    by the exact structural walk and every-Nth frame decodes to the
+    expected pixels — including frames whose entropy data contains
+    SOI-looking bytes (stuffing makes real \\xff\\xd8 inside scans
+    impossible, and the walk never scans for signatures anyway)."""
+    from geo_inference_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        expected_decode,
+        split_jpeg_frames,
+    )
+    from geo_inference_spark.text.multimodal import sample_frames
+
+    rng = np.random.RandomState(77)
+    pix = [rng.randint(0, 256, (16 + 2 * i, 20, 3), np.uint8)
+           for i in range(6)]
+    frames = [encode_jpeg(p, quality=70, subsample="444") for p in pix]
+    video = b"".join(frames)
+    assert split_jpeg_frames(video) == frames
+    df = spark.createDataFrame(
+        [(1, video)], schema="page_id long, html binary"
+    )
+    got = sorted(sample_frames(df, every=2, n_frames=3).collect(),
+                 key=lambda r: r["frame_idx"])
+    assert len(got) == 3
+    for i, r in enumerate(got):  # frames 0, 2, 4
+        np.testing.assert_array_equal(
+            decode_jpeg(bytes(r["frame_bytes"])),
+            expected_decode(pix[2 * i], quality=70, subsample="444"),
+        )
