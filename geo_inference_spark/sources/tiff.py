@@ -45,6 +45,7 @@ T_STRIP_COUNTS, T_PLANAR = 279, 284
 T_TILE_WIDTH, T_TILE_HEIGHT, T_TILE_OFFSETS, T_TILE_COUNTS = 322, 323, 324, 325
 T_SAMPLE_FORMAT = 339
 T_PREDICTOR = 317
+T_JPEG_TABLES = 347
 # GeoTIFF 1.1
 T_MODEL_PIXEL_SCALE, T_MODEL_TIEPOINT, T_GEO_KEYS = 33550, 33922, 34735
 
@@ -213,7 +214,7 @@ def _np_dtype(bits: int, sample_format: int, bo: str) -> np.dtype:
 
 
 _COMP_IDS = {None: 1, "none": 1, "lzw": 5, "deflate": 8,
-             "packbits": 32773}
+             "packbits": 32773, "jpeg": 7}
 
 
 def _fp_predict(block: np.ndarray) -> bytes:
@@ -264,6 +265,7 @@ def write_geotiff(
     rows_per_strip: int = 64,
     compression: str | None = None,
     predictor: int | None = None,
+    jpeg_quality: int = 90,
 ) -> None:
     """(bands, H, W) or (H, W) -> striped GeoTIFF (LE, pixel-
     interleaved; compression None/'lzw'/'deflate' — the reference's
@@ -292,6 +294,13 @@ def write_geotiff(
         fmt, bits = 1, a.dtype.itemsize * 8
     if predictor not in (None, 1, 2, 3):
         raise ValueError("predictor must be None, 2 or 3")
+    if comp_id == 7:
+        if a.dtype != np.uint8 or bands not in (1, 3):
+            raise ValueError(
+                "JPEG-in-TIFF writes uint8 with 1 or 3 bands"
+            )
+        if predictor not in (None, 1):
+            raise ValueError("JPEG compression excludes predictors")
     if predictor == 2 and a.dtype.kind == "f":
         raise ValueError("predictor 2 is for int samples; use 3 for float")
     if predictor == 3 and a.dtype.kind != "f":
@@ -315,6 +324,14 @@ def write_geotiff(
             raw = zlib.compress(raw, 6)
         elif comp_id == 32773:
             raw = packbits_encode(raw)
+        elif comp_id == 7:
+            from .jpeg import encode_jpeg
+
+            img = block if bands == 3 else block[:, :, 0]
+            # full interchange stream per strip (no shared JPEGTables
+            # — simplest valid TechNote-2 form; the reader also
+            # handles the abbreviated JPEGTables layout)
+            raw = encode_jpeg(img, quality=jpeg_quality, subsample="444")
         strips.append(raw)
 
     entries = []  # (tag, type, count, value_or_bytes)
@@ -332,7 +349,8 @@ def write_geotiff(
          struct.pack(f"<{bands}H", *([bits] * bands)).ljust(4, b"\0"))
     )
     short(T_COMPRESSION, comp_id)
-    short(T_PHOTOMETRIC, 1)
+    # JPEG-compressed RGB is photometric 6 (YCbCr per TechNote 2)
+    short(T_PHOTOMETRIC, 6 if comp_id == 7 and bands == 3 else 1)
     entries.append((T_STRIP_OFFSETS, 4, len(strips), None))  # patched below
     short(T_SAMPLES_PER_PIXEL, bands)
     short(T_ROWS_PER_STRIP, rows_per_strip)
@@ -505,10 +523,10 @@ def geotiff_index(path: str) -> dict:
     Driver cost is the IFD only — never the pixel data."""
     t, bo = read_geotiff_tags(path)
     comp = t.get(T_COMPRESSION, (1,))[0]
-    if comp not in (1, 5, 8, 32946, 32773):
+    if comp not in (1, 5, 8, 32946, 32773, 7):
         raise ValueError(
             f"TIFF compression {comp} needs the rasterio seam "
-            "(this codec reads none/LZW/deflate/packbits)"
+            "(this codec reads none/LZW/deflate/packbits/JPEG)"
         )
     predictor = t.get(T_PREDICTOR, (1,))[0]
     if predictor not in (1, 2, 3):
@@ -537,6 +555,9 @@ def geotiff_index(path: str) -> dict:
     return {
         "path": path, "comp": comp, "predictor": predictor,
         "dtype_str": dt.str, "width": w, "height": h, "count": bands,
+        "jpegtables": (
+            t.get(T_JPEG_TABLES, (None,))[0] if comp == 7 else None
+        ),
         "segments": segs, "meta": _meta_from_tags(t),
     }
 
@@ -597,6 +618,7 @@ def read_geotiff_chunks_distributed(
                                 raw, 0, cnt, comp, dt,
                                 sh * sw * ix["count"],
                                 (sh, sw, ix["count"]), pred,
+                                jpegtables=ix["jpegtables"],
                             )
                             if len(cache) >= 4:
                                 cache.pop(next(iter(cache)))
@@ -645,9 +667,26 @@ def _read_ifd(buf: bytes, bo: str, big: bool = False):
     return tags
 
 
-def _decode_segment(buf, off, cnt, comp, dt, n_vals, shape, predictor):
+def _decode_segment(buf, off, cnt, comp, dt, n_vals, shape, predictor,
+                    jpegtables=None):
     """One strip/tile -> (rows, width, bands) array, decompressed and
     un-predicted. Truncated final segments are zero-padded."""
+    if comp == 7:  # new-style JPEG (TIFF TechNote 2)
+        from .jpeg import decode_jpeg
+
+        raw = bytes(buf[off : off + cnt])
+        if jpegtables:
+            # abbreviated stream: splice the shared DQT/DHT segments
+            # (JPEGTables is an SOI..EOI wrapper) after this SOI
+            raw = raw[:2] + bytes(jpegtables)[2:-2] + raw[2:]
+        pix = decode_jpeg(raw)
+        if pix.ndim == 2:
+            pix = pix[:, :, None]
+        out = np.zeros(shape, dtype=dt.newbyteorder("="))
+        ys = min(shape[0], pix.shape[0])
+        xs = min(shape[1], pix.shape[1])
+        out[:ys, :xs] = pix[:ys, :xs]
+        return out
     if predictor == 3:
         # byte-shuffled stream: must un-predict at the byte level
         # BEFORE interpreting values
@@ -705,10 +744,10 @@ def read_geotiff(path: str):
     else:
         raise ValueError(f"unknown TIFF magic {magic}")
     comp = t.get(T_COMPRESSION, (1,))[0]
-    if comp not in (1, 5, 8, 32946, 32773):
+    if comp not in (1, 5, 8, 32946, 32773, 7):
         raise ValueError(
             f"TIFF compression {comp} needs the rasterio seam "
-            "(this codec reads none/LZW/deflate/packbits)"
+            "(this codec reads none/LZW/deflate/packbits/JPEG)"
         )
     predictor = t.get(T_PREDICTOR, (1,))[0]
     if predictor not in (1, 2, 3):
@@ -720,6 +759,7 @@ def read_geotiff(path: str):
     bits = t[T_BITS][0]
     fmt = t.get(T_SAMPLE_FORMAT, (1,))[0]
     dt = _np_dtype(bits, fmt, bo)
+    jt = t.get(T_JPEG_TABLES, (None,))[0] if comp == 7 else None
     pix = np.zeros((h, w, bands), dtype=dt.newbyteorder("="))
     if T_TILE_OFFSETS in t:
         tw, th = t[T_TILE_WIDTH][0], t[T_TILE_HEIGHT][0]
@@ -727,7 +767,7 @@ def read_geotiff(path: str):
         for i, (off, cnt) in enumerate(zip(t[T_TILE_OFFSETS], t[T_TILE_COUNTS])):
             tile = _decode_segment(
                 buf, off, cnt, comp, dt, tw * th * bands,
-                (th, tw, bands), predictor,
+                (th, tw, bands), predictor, jpegtables=jt,
             )
             ty, tx = divmod(i, nx)
             y0, x0 = ty * th, tx * tw
@@ -740,7 +780,7 @@ def read_geotiff(path: str):
             rows = min(rps, h - y0)
             pix[y0 : y0 + rows] = _decode_segment(
                 buf, off, cnt, comp, dt, rows * w * bands,
-                (rows, w, bands), predictor,
+                (rows, w, bands), predictor, jpegtables=jt,
             )
             y0 += rows
     arr = np.moveaxis(pix, -1, 0).astype(np.float64)

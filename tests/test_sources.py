@@ -276,11 +276,12 @@ def test_geotiff_reader_rejects_exotic_codec(tmp_path):
 
     from geo_inference_spark.sources.tiff import read_geotiff
 
-    # forge a minimal IFD claiming JPEG compression (7) — outside the
-    # none/LZW/deflate set the stdlib codec handles
+    # forge a minimal IFD claiming OLD-style JPEG compression (6) —
+    # deprecated by TechNote 2 and outside the codec set (new-style
+    # JPEG (7) is handled natively since round 5)
     ifd = struct.pack("<H", 1) + struct.pack(
         "<HHI", 259, 3, 1
-    ) + struct.pack("<HH", 7, 0) + struct.pack("<I", 0)
+    ) + struct.pack("<HH", 6, 0) + struct.pack("<I", 0)
     buf = b"II*\0" + struct.pack("<I", 8) + ifd
     fp = str(tmp_path / "c.tif")
     open(fp, "wb").write(buf)
@@ -829,3 +830,99 @@ def test_geotiff_reader_tiled_predictor3(tmp_path):
                 got.astype(np.float32), np.moveaxis(a, -1, 0),
                 err_msg=f"bo={bo} comp={comp}",
             )
+
+
+def test_geotiff_jpeg_compression_roundtrip(tmp_path):
+    """JPEG-in-TIFF (compression 7, TechNote 2): write full
+    interchange streams per strip, read back — per-strip pixels equal
+    the analytic JPEG expectation (lossy but deterministic)."""
+    import numpy as np
+
+    from geo_inference_spark.sources.jpeg import expected_decode
+    from geo_inference_spark.sources.tiff import read_geotiff, write_geotiff
+
+    rng = np.random.RandomState(51)
+    for bands, q in ((3, 80), (1, 60)):
+        arr = rng.randint(0, 256, (bands, 37, 50), dtype=np.uint8)
+        fp = str(tmp_path / f"j{bands}.tif")
+        write_geotiff(arr, fp, rows_per_strip=8, compression="jpeg",
+                      jpeg_quality=q)
+        got, meta = read_geotiff(fp)
+        pix = np.moveaxis(arr, 0, -1)
+        exp = np.zeros((37, 50, bands))
+        for y0 in range(0, 37, 8):
+            blk = pix[y0:y0 + 8]
+            e = expected_decode(
+                blk if bands == 3 else blk[:, :, 0], quality=q,
+                subsample="444",
+            )
+            exp[y0:y0 + 8] = e if bands == 3 else e[:, :, None]
+        np.testing.assert_array_equal(got, np.moveaxis(exp, -1, 0))
+
+
+def test_geotiff_jpegtables_abbreviated_streams():
+    """The JPEGTables layout (tag 347): shared DQT/DHT in an SOI..EOI
+    wrapper, abbreviated per-strip streams without them — the splice
+    in _decode_segment must reproduce the full-stream decode."""
+    import numpy as np
+
+    from geo_inference_spark.sources.jpeg import decode_jpeg, encode_jpeg
+    from geo_inference_spark.sources.tiff import _decode_segment
+
+    rng = np.random.RandomState(52)
+    pix = rng.randint(0, 256, (16, 24, 3), dtype=np.uint8)
+    full = encode_jpeg(pix, quality=75, subsample="444")
+    # split the stream: DQT/DHT segments -> tables, rest -> abbreviated
+    import struct as _s
+
+    tables = bytearray(b"\xff\xd8")
+    abbrev = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos < len(full) - 1:
+        assert full[pos] == 0xFF
+        marker = full[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = _s.unpack(">H", full[pos + 2:pos + 4])[0]
+        seg = full[pos:pos + 2 + ln]
+        if marker in (0xDB, 0xC4):
+            tables += seg
+        else:
+            abbrev += seg
+        if marker == 0xDA:
+            abbrev += full[pos + 2 + ln:]  # ECS + EOI
+            break
+        pos += 2 + ln
+    tables += b"\xff\xd9"
+    dt = np.dtype(np.uint8)
+    got = _decode_segment(bytes(abbrev), 0, len(abbrev), 7, dt,
+                          16 * 24 * 3, (16, 24, 3), 1,
+                          jpegtables=bytes(tables))
+    np.testing.assert_array_equal(got, decode_jpeg(full))
+
+
+def test_geotiff_jpeg_distributed_scan(spark, tmp_path):
+    """The distributed windowed scan decodes JPEG strips executor-side
+    identically to the single-process read."""
+    import numpy as np
+
+    from geo_inference_spark.operators.overlap import bytes_to_np
+    from geo_inference_spark.sources.tiff import (
+        read_geotiff,
+        read_geotiff_chunks_distributed,
+        write_geotiff,
+    )
+
+    rng = np.random.RandomState(53)
+    arr = rng.randint(0, 256, (3, 32, 48), dtype=np.uint8)
+    fp = str(tmp_path / "dj.tif")
+    write_geotiff(arr, fp, rows_per_strip=8, compression="jpeg")
+    ref, _ = read_geotiff(fp)
+    chunks, ny, nx, meta = read_geotiff_chunks_distributed(spark, fp, 16)
+    got = np.zeros_like(ref)
+    for r in chunks.collect():
+        c = bytes_to_np(bytes(r["chunk"]), (3, 16, 16))
+        y0, x0 = r["ty"] * 16, r["tx"] * 16
+        ys, xs = min(16, 32 - y0), min(16, 48 - x0)
+        got[:, y0:y0 + ys, x0:x0 + xs] = c[:, :ys, :xs]
+    np.testing.assert_array_equal(got, ref)
