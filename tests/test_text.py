@@ -266,3 +266,31 @@ def test_cache_released_context_and_gc_finalizer(spark):
     del out3
     gc.collect()  # finalizer already detached: no error, still free
     assert not is_cached(dep3)
+
+
+def test_py_band_keys_parity_with_sql_exprs(spark, docs):
+    """The pandas-UDF band keys (r6 optimization) must be bit-identical
+    to the legacy SQL expression tree on real docs AND edge texts."""
+    edge = spark.createDataFrame(
+        [(100, ""), (101, " "), (102, "  double  space "), (103, "one"),
+         (104, "two words"), (105, "a b c d e"),
+         (106, "unicode café näï ve"), (107, "a  b"),
+         (108, "trailing space "), (109, " leading")],
+        "doc_id long, text string",
+    )
+    for df in (docs, edge):
+        sig = DD.with_minhash_signature(df, DD.DEFAULT_H, DD.DEFAULT_K)
+        band_cols = [
+            F.md5(F.concat(F.col(f"mh{b*2}"), F.col(f"mh{b*2+1}")))
+            .alias(f"k{b}")
+            for b in range(DD.DEFAULT_H // DD.DEFAULT_R)
+        ]
+        old = sig.select("doc_id", *band_cols)
+        kudf = DD._band_keys_udf(DD.DEFAULT_H, DD.DEFAULT_R, DD.DEFAULT_K)
+        new = df.select(
+            "doc_id",
+            *[F.element_at(kudf(F.col("text")), b + 1).alias(f"k{b}")
+              for b in range(DD.DEFAULT_H // DD.DEFAULT_R)],
+        )
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0
