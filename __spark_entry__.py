@@ -903,9 +903,13 @@ def q_media_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary decode plumbing (stubbed codec, md5-derived so DuckDB
     reproduces every field — value-exact oracle check)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.col("doc_id").alias("page_id"),
-        F.encode("text", "utf-8").alias("html"),
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.col("doc_id").alias("page_id"),
+            F.encode("text", "utf-8").alias("html"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     return decode_media(docs).orderBy("id")
 
@@ -951,10 +955,14 @@ def q_media_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from geo_inference_spark.text.multimodal import decode_media, forge_jpeg
 
+    # repartition the slim id projection: the sf-dir parquet is a
+    # single file -> one scan partition, which would run the forge +
+    # decode mapInPandas on ONE core (measured 18 s -> ~1 s at 32)
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id")
         .filter(F.col("doc_id") % 11 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def forge(batches):
@@ -1012,6 +1020,7 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id")
         .filter(F.col("doc_id") % 9 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def forge(batches):
@@ -1062,30 +1071,34 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified member boundaries). Value-exact per-row check of url,
     byte length and payload md5 — the north rule's byte-identity
     invariant at the ingest step."""
-    import hashlib
     from datetime import datetime, timezone
 
-    from geo_inference_spark.sources.warc import read_warc, write_warc
-
-    docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select("doc_id", "text")
-        .orderBy("doc_id")
-        .toPandas()
+    from geo_inference_spark.sources.warc import (
+        forge_warc_distributed,
+        read_warc,
     )
+
     sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     path = f"/tmp/graft_warc_ingest_{sf_tag}.warc.gz"
-    rows = [
-        (
-            f"https://example.org/doc/{int(d)}",
-            datetime(2024, 1, 1, tzinfo=timezone.utc),
-            t.encode("utf-8"),
-        )
-        for d, t in zip(docs["doc_id"], docs["text"])
-    ]
     # always rewrite: a stale fixture from an older writer must never
-    # poison the gate (same rule as the TIFF codec-chain fixture)
-    write_warc(rows, path, compress=True)
+    # poison the gate (same rule as the TIFF codec-chain fixture).
+    # The forge builds + gzips the members on executors (record order
+    # in the archive is irrelevant — consumers key on URL); only the
+    # sequential append stays on the driver.
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.concat(
+                F.lit("https://example.org/doc/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    forge_warc_distributed(
+        docs, path, ts=datetime(2024, 1, 1, tzinfo=timezone.utc)
+    )
     out = read_warc(spark, path)
     return out.select(
         "url",
@@ -1110,26 +1123,32 @@ def q_warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_html,
         extract_text_bytes,
     )
-    from geo_inference_spark.sources.warc import read_warc, write_warc
+    from geo_inference_spark.sources.warc import (
+        forge_warc_distributed,
+        read_warc,
+    )
 
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    path = f"/tmp/graft_warc_pipeline_{sf_tag}.warc.gz"
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", "text")
-        .orderBy("doc_id")
-        .toPandas()
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    ids = docs["doc_id"].to_numpy(np.uint64)
-    htmls = build_html(ids, docs["text"].to_numpy())
-    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    path = f"/tmp/graft_warc_pipeline_{sf_tag}.warc.gz"
-    write_warc(
-        [
-            (f"https://example.org/doc/{int(d)}",
-             datetime(2024, 1, 1, tzinfo=timezone.utc), bytes(hh))
-            for d, hh in zip(ids, htmls)
-        ],
+
+    def mk_pages(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(np.uint64)
+            htmls = build_html(ids, pdf["text"].to_numpy())
+            yield pd.DataFrame({
+                "url": [f"https://example.org/doc/{int(d)}" for d in ids],
+                "payload": [bytes(h) for h in htmls],
+            })
+
+    forge_warc_distributed(
+        docs.mapInPandas(mk_pages, "url string, payload binary"),
         path,
-        compress=True,
+        ts=datetime(2024, 1, 1, tzinfo=timezone.utc),
     )
 
     def extract(batches):
@@ -1170,27 +1189,27 @@ def q_warc_indexed_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from geo_inference_spark.sources.warc import (
         fetch_warc_records,
-        write_warc_with_index,
+        forge_warc_distributed,
     )
 
-    docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select("doc_id", "text")
-        .orderBy("doc_id")
-        .toPandas()
-    )
     sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     path = f"/tmp/graft_warc_idx_{sf_tag}.warc.gz"
-    idx = write_warc_with_index(
-        [
-            (f"https://example.org/doc/{int(d)}",
-             datetime(2024, 1, 1, tzinfo=timezone.utc),
-             t.encode("utf-8"))
-            for d, t in zip(docs["doc_id"], docs["text"])
-        ],
-        path,
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.concat(
+                F.lit("https://example.org/doc/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    want = idx[(docs["doc_id"].to_numpy() % 7) == 0]
+    idx = forge_warc_distributed(
+        docs, path, ts=datetime(2024, 1, 1, tzinfo=timezone.utc)
+    )
+    doc_ids = idx["url"].str.rsplit("/", n=1).str[1].astype("int64")
+    want = idx[(doc_ids % 7) == 0]
     out = fetch_warc_records(spark, path, spark.createDataFrame(want))
     return out.select(
         "url",

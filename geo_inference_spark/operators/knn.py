@@ -159,7 +159,15 @@ def knn_join(
     pts = points.select(
         F.col(id_col).alias("id"), F.col(lat_col).alias("lat"),
         F.col(lon_col).alias("lon"),
-    ).withColumn("cell", hex_cell_udf(res)(F.col("lat"), F.col("lon"))).persist()
+    )
+    # single-file scans are one partition: spread the slim projection
+    # before the geocode UDF (conditional — no shuffle on real tables)
+    par = spark.sparkContext.defaultParallelism
+    if pts.rdd.getNumPartitions() < par:
+        pts = pts.repartition(par)
+    pts = pts.withColumn(
+        "cell", hex_cell_udf(res)(F.col("lat"), F.col("lon"))
+    ).persist()
 
     remaining = queries[["qid", "lat", "lon"]].copy()
     results: list = []
@@ -339,7 +347,11 @@ def radius_join(
     pts = points.select(
         F.col(id_col).alias("id"), F.col(lat_col).alias("lat"),
         F.col(lon_col).alias("lon"),
-    ).withColumn("cell", hex_cell_udf(res)(F.col("lat"), F.col("lon")))
+    )
+    par = spark.sparkContext.defaultParallelism
+    if pts.rdd.getNumPartitions() < par:
+        pts = pts.repartition(par)
+    pts = pts.withColumn("cell", hex_cell_udf(res)(F.col("lat"), F.col("lon")))
     qmeta = spark.createDataFrame(
         queries[["qid", "lat", "lon"]], schema="qid long, lat double, lon double"
     ).select("qid", F.col("lat").alias("qlat"), F.col("lon").alias("qlon"))

@@ -181,6 +181,13 @@ def pip_join(
     pts = points
     if keep_cols is not None:
         pts = pts.select(*keep_cols, lat_col, lon_col)
+    # single-file inputs arrive as ONE scan partition (the testdata
+    # parquet is one row group), which would run the geocode +
+    # refine UDF chain on one core. Conditional: a real table has
+    # partitions >= slots and keeps the no-shuffle contract.
+    par = spark.sparkContext.defaultParallelism
+    if pts.rdd.getNumPartitions() < par:
+        pts = pts.repartition(par)
     refine = _refine_udf(polygons_pdf)
     out = None
     # one broadcast join per distinct cover resolution (usually 1-2):

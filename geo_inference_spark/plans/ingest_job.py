@@ -66,9 +66,15 @@ def resumable_warc_ingest(
             schema="path string, start long, end long",
         )
 
+        cols = ["url", "warc_ts", "html", "record_id", "offset"]
+
         def scan(batches):
+            # yield chunked frames (same memory bound as read_warc —
+            # VERDICT r5 #3): never buffer a whole byte range
+            from ..sources.warc import SCAN_YIELD_BYTES, SCAN_YIELD_ROWS
+
             for pdf in batches:
-                rows = []
+                rows, nbytes = [], 0
                 for p, s, e in zip(pdf["path"], pdf["start"], pdf["end"]):
                     it = (
                         _scan_range_gz(str(p), int(s), int(e))
@@ -77,11 +83,12 @@ def resumable_warc_ingest(
                     )
                     for url, ts, payload, rid, off in it:
                         rows.append((url, ts, payload, rid, off))
-                yield pd.DataFrame(
-                    rows,
-                    columns=["url", "warc_ts", "html", "record_id",
-                             "offset"],
-                )
+                        nbytes += len(payload)
+                        if (nbytes >= SCAN_YIELD_BYTES
+                                or len(rows) >= SCAN_YIELD_ROWS):
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows, nbytes = [], 0
+                yield pd.DataFrame(rows, columns=cols)
 
         def extract(batches):
             for pdf in batches:

@@ -63,7 +63,7 @@ def _record_bytes(url: str, ts: datetime, payload: bytes) -> bytes:
 
 
 def write_warc(
-    rows, path: str, compress: bool = True
+    rows, path: str, compress: bool = True, level: int = 6
 ) -> int:
     """rows: iterable of (url, ts:datetime, payload:bytes) or a pandas
     DataFrame with url/warc_ts/html columns. One gzip member per
@@ -78,12 +78,50 @@ def write_warc(
                 ts = ts.to_pydatetime()
             rec = _record_bytes(str(url), ts, bytes(payload))
             if compress:
-                co = zlib.compressobj(6, zlib.DEFLATED, 31)  # gzip member
+                co = zlib.compressobj(level, zlib.DEFLATED, 31)  # gzip member
                 f.write(co.compress(rec) + co.flush())
             else:
                 f.write(rec)
             n += 1
     return n
+
+
+def forge_warc_distributed(
+    df, path: str, ts: datetime, compress: bool = True, level: int = 1,
+    url_col: str = "url", payload_col: str = "payload",
+):
+    """Fixture forge for the gate queries: build the per-record WARC
+    members (headers + per-record gzip) ON EXECUTORS, collect the
+    compressed blobs and append them sequentially. gzip members
+    concatenate freely, and record order inside the archive is
+    irrelevant to every consumer (readers key on URL / the CDX index),
+    so the only driver work left is the sequential file append —
+    the per-record compression that dominated the old driver-side
+    write_warc (measured ~4 s of the 9 s warc_pipeline at sf1.0)
+    parallelizes across all slots. Returns a (url, offset, length)
+    CDX index DataFrame like write_warc_with_index."""
+
+    def build(batches):
+        for pdf in batches:
+            blobs, urls = [], []
+            for url, payload in zip(pdf[url_col], pdf[payload_col]):
+                rec = _record_bytes(str(url), ts, bytes(payload))
+                if compress:
+                    co = zlib.compressobj(level, zlib.DEFLATED, 31)
+                    rec = co.compress(rec) + co.flush()
+                blobs.append(rec)
+                urls.append(str(url))
+            yield pd.DataFrame({"url": urls, "blob": blobs})
+
+    parts = df.mapInPandas(build, "url string, blob binary").toPandas()
+    idx = []
+    with open(path, "wb") as f:
+        for url, blob in zip(parts["url"], parts["blob"]):
+            off = f.tell()
+            b = bytes(blob)
+            f.write(b)
+            idx.append((url, off, len(b)))
+    return pd.DataFrame(idx, columns=["url", "offset", "length"])
 
 
 # ---------------------------------------------------------------- parser
@@ -112,9 +150,19 @@ def _parse_record(buf: bytes, at: int = 0):
     url = fields.get(b"warc-target-uri", b"").decode()
     rid = fields.get(b"warc-record-id", b"").decode().strip("<>")
     ts_raw = fields.get(b"warc-date", b"1970-01-01T00:00:00Z").decode()
-    ts = datetime.strptime(ts_raw, "%Y-%m-%dT%H:%M:%SZ").replace(
-        tzinfo=timezone.utc
-    )
+    try:
+        ts = datetime.strptime(ts_raw, "%Y-%m-%dT%H:%M:%SZ")
+    except ValueError:
+        # WARC 1.1 allows fractional seconds ('...T04:03:53.917Z',
+        # common in real crawls): trim the fraction rather than
+        # killing the whole byte-range task over one record's date
+        try:
+            ts = datetime.strptime(
+                ts_raw.split(".")[0] + "Z", "%Y-%m-%dT%H:%M:%SZ"
+            )
+        except ValueError:
+            ts = datetime(1970, 1, 1)
+    ts = ts.replace(tzinfo=timezone.utc)
     consumed = start + clen + 4 - at  # incl. trailing \r\n\r\n
     return url, ts, payload, rid, consumed
 
@@ -316,16 +364,31 @@ def fetch_warc_records(
     return index.select("offset", "length").mapInPandas(fetch, WARC_SCHEMA)
 
 
+SCAN_YIELD_BYTES = 64 << 20  # flush a frame every ~64 MB of payload
+SCAN_YIELD_ROWS = 20_000
+
+
 def read_warc(
-    spark: SparkSession, path: str, n_splits: int | None = None
+    spark: SparkSession, path: str, n_splits: int | None = None,
+    yield_bytes: int = SCAN_YIELD_BYTES, yield_rows: int = SCAN_YIELD_ROWS,
 ) -> DataFrame:
     """Distributed WARC scan -> (url, warc_ts, html, record_id,
     offset). The driver only stats the file; each executor task owns
-    one byte range."""
+    one byte range.
+
+    Memory is bounded two ways (VERDICT r5 #3): the default split
+    count is ceil(size / 128 MB) (floored at defaultParallelism so
+    small archives still use every slot), and each task YIELDS a
+    frame every SCAN_YIELD_BYTES payload bytes / SCAN_YIELD_ROWS
+    records instead of buffering its whole range — a 1 TB archive
+    scans with ~tens of MB of task state."""
     size = os.path.getsize(path)
     compressed = path.endswith(".gz")
     if n_splits is None:
-        n_splits = max(1, spark.sparkContext.defaultParallelism)
+        n_splits = max(
+            spark.sparkContext.defaultParallelism,
+            -(-size // (128 << 20)),
+        )
     n_splits = max(1, min(n_splits, size))
     bounds = np.linspace(0, size, n_splits + 1, dtype=np.int64)
     ranges = spark.createDataFrame(
@@ -334,9 +397,11 @@ def read_warc(
         schema="path string, start long, end long",
     )
 
+    cols = ["url", "warc_ts", "html", "record_id", "offset"]
+
     def scan(batches):
         for pdf in batches:
-            rows = []
+            rows, nbytes = [], 0
             for p, s, e in zip(pdf["path"], pdf["start"], pdf["end"]):
                 it = (
                     _scan_range_gz(str(p), int(s), int(e))
@@ -345,9 +410,10 @@ def read_warc(
                 )
                 for url, ts, payload, rid, off in it:
                     rows.append((url, ts, payload, rid, off))
-            yield pd.DataFrame(
-                rows,
-                columns=["url", "warc_ts", "html", "record_id", "offset"],
-            )
+                    nbytes += len(payload)
+                    if nbytes >= yield_bytes or len(rows) >= yield_rows:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows, nbytes = [], 0
+            yield pd.DataFrame(rows, columns=cols)
 
     return ranges.mapInPandas(scan, WARC_SCHEMA)

@@ -231,6 +231,10 @@ def lsh_candidate_pairs(
         )
         .persist()
     )
+    # materialize eagerly: the cap's count subtree and both self-join
+    # sides otherwise race to fill the cold cache and each re-runs the
+    # UDF over the partitions the others haven't finished yet
+    buckets.count()
     out = _bucket_pair_join(_cap_buckets(buckets, max_bucket))
     return attach(out, buckets)
 
@@ -336,6 +340,7 @@ def jaccard_verified_pairs(
         .withColumn("_nd", F.size("_shd"))
         .persist()
     )
+    n_docs = sig.count()  # eager materialize (see lsh_candidate_pairs)
     pairs = _bucket_pair_join(
         _cap_buckets(
             sig.select("id", F.posexplode("keys").alias("band", "key")),
@@ -349,7 +354,7 @@ def jaccard_verified_pairs(
     # arrays — measured 12.5 s vs 7.3 s broadcast on 1.19M pairs).
     # Size-gated: at 10^12 docs the projection cannot broadcast and
     # the shuffle join is the correct plan.
-    if verify_broadcast_max_rows and df.count() <= verify_broadcast_max_rows:
+    if verify_broadcast_max_rows and n_docs <= verify_broadcast_max_rows:
         sh = F.broadcast(sh)
     inter = F.size(F.array_intersect("sh1", "sh2"))
     uni = F.col("n1") + F.col("n2") - inter

@@ -119,3 +119,52 @@ def test_indexed_random_access_fetch(spark, tmp_path, compress):
     }
     for _, row in want.iterrows():
         assert scan_offs[row["url"]] == row["offset"]
+
+
+def test_read_warc_chunked_yield_identical_rows(spark, tmp_path):
+    """Memory-bounded scan (r6): forcing a tiny per-yield row budget
+    must produce exactly the same rows as one big frame — proves the
+    multi-yield path flushes and resumes correctly mid-range."""
+    from datetime import datetime, timezone
+
+    from geo_inference_spark.sources.warc import read_warc, write_warc
+
+    path = str(tmp_path / "chunky.warc.gz")
+    rows = [
+        (f"https://x.org/{i}", datetime(2024, 2, 2, tzinfo=timezone.utc),
+         (f"payload-{i}-" + "z" * (i % 37)).encode())
+        for i in range(53)
+    ]
+    write_warc(rows, path, compress=True)
+    big = sorted(
+        (r["url"], bytes(r["html"])) for r in read_warc(spark, path).collect()
+    )
+    small = sorted(
+        (r["url"], bytes(r["html"]))
+        for r in read_warc(spark, path, yield_rows=7, yield_bytes=1).collect()
+    )
+    assert big == small and len(big) == 53
+
+
+def test_warc_date_fractional_seconds_tolerated(tmp_path):
+    """ADVICE r5: a WARC 1.1 fractional-second date must not kill the
+    scan — the fraction is trimmed, the record survives."""
+    import gzip
+
+    from geo_inference_spark.sources.warc import _parse_record
+
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: resource\r\n"
+        b"WARC-Record-ID: <urn:uuid:abc>\r\n"
+        b"WARC-Date: 2017-03-06T04:03:53.917Z\r\n"
+        b"WARC-Target-URI: https://x.org/f\r\n"
+        b"Content-Type: text/html\r\n"
+        b"Content-Length: 2\r\n"
+        b"\r\n"
+        b"hi\r\n\r\n"
+    )
+    out = _parse_record(rec)
+    assert out is not None
+    url, ts, payload, rid, consumed = out
+    assert payload == b"hi" and ts.year == 2017 and ts.second == 53
