@@ -12,18 +12,24 @@ otherwise accumulate cached storage):
         pairs = out.collect()
 
 or, without the context manager, an explicit ``release(out)``.
-Either way a weakref FINALIZER on the result frame unpersists the
-deps when the result is garbage-collected, so a call site that
-forgets both cannot leak persisted storage for the life of the
-session (VERDICT r4 #8) — the finalizer is the safety net, the
-context manager the intended API.
+r6 NOTE: the round-4/5 version additionally armed a weakref
+FINALIZER on the result frame that unpersisted the deps when the
+frame was garbage-collected. That silently destroyed the caches
+MID-QUERY for the common call shape ``op(df).orderBy(...).count()``:
+``orderBy`` returns a NEW frame, the original wrapper dies at the end
+of the expression, the finalizer fires while (or before) the query
+runs, and every broadcast/join subtree recomputes the persisted
+projection from the source — measured as the dedup queries running
+2-3x slower through ``__spark_entry__`` than inline, with python
+workers re-running the signature UDF per subtree. Callers that want
+deterministic cleanup use ``release``/``released``; batch harnesses
+(bench.py) call ``spark.catalog.clearCache()`` between queries.
 
 ``release`` is a safe no-op on frames without attached deps.
 """
 
 from __future__ import annotations
 
-import weakref
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
@@ -41,23 +47,10 @@ def _unpersist_all(deps: list[DataFrame]) -> None:
 def attach(out: DataFrame, *deps: DataFrame) -> DataFrame:
     existing = list(getattr(out, "_cached_deps", []))
     out._cached_deps = existing + list(deps)
-    # re-arm the finalizer on the merged list (detach the old one so a
-    # second attach() doesn't leave a stale finalizer on a stale list)
-    fin = getattr(out, "_cached_finalizer", None)
-    if fin is not None:
-        fin.detach()
-    # NB: the callback must not reference ``out`` itself, only the
-    # deps list, or the finalizer would keep the frame alive forever
-    out._cached_finalizer = weakref.finalize(
-        out, _unpersist_all, out._cached_deps
-    )
     return out
 
 
 def release(df: DataFrame) -> None:
-    fin = getattr(df, "_cached_finalizer", None)
-    if fin is not None:
-        fin.detach()
     _unpersist_all(getattr(df, "_cached_deps", []))
     df._cached_deps = []
 

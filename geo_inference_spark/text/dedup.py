@@ -337,38 +337,70 @@ def jaccard_verified_pairs(
             F.col("s.keys").alias("keys"),
             F.array_distinct(F.col("s.sh")).alias("_shd"),
         )
+        .withColumn(
+            "_shh", F.transform(F.col("_shd"), lambda s: F.xxhash64(s))
+        )
         .withColumn("_nd", F.size("_shd"))
         .persist()
     )
     n_docs = sig.count()  # eager materialize (see lsh_candidate_pairs)
+    # Verify on 64-bit shingle hashes WHEN INJECTIVE on this input
+    # (one aggregate proves it: #distinct shingles == #distinct
+    # hashes). The per-pair work and the bytes every join ships drop
+    # ~10x vs string sets — serializing ~10^8 shingle strings through
+    # the verify joins was the measured hot spot. If the corpus ever
+    # produces a 64-bit collision (expected only past ~10^9 distinct
+    # shingles), the check fails and the verify runs on the exact
+    # string sets instead — identical output either way.
+    chk = (
+        sig.select(F.explode(F.arrays_zip("_shd", "_shh")).alias("z"))
+        .agg(
+            F.countDistinct("z._shd").alias("ds"),
+            F.countDistinct("z._shh").alias("dh"),
+        )
+        .collect()[0]
+    )
+    injective = chk["ds"] == chk["dh"]
+    set_col = "_shh" if injective else "_shd"
     pairs = _bucket_pair_join(
         _cap_buckets(
             sig.select("id", F.posexplode("keys").alias("band", "key")),
             max_bucket,
         )
     )
-    sh = sig.select("id", "_shd", "_nd")
-    # broadcast the per-doc shingle-set projection when it is small
-    # (the cached UDF output has no stats, so the planner would pick a
-    # sort-merge join and shuffle the candidate pairs twice with their
-    # arrays — measured 12.5 s vs 7.3 s broadcast on 1.19M pairs).
+    sh = sig.select("id", set_col, "_nd")
+    # broadcast the per-doc projection when it is small (the cached
+    # UDF output has no stats, so the planner would pick a sort-merge
+    # join and shuffle the candidate pairs twice with their arrays).
     # Size-gated: at 10^12 docs the projection cannot broadcast and
     # the shuffle join is the correct plan.
     if verify_broadcast_max_rows and n_docs <= verify_broadcast_max_rows:
         sh = F.broadcast(sh)
-    inter = F.size(F.array_intersect("sh1", "sh2"))
+    # repartition the candidate pairs to full parallelism BEFORE the
+    # verify: the distinct's output is ~20 MB so AQE coalesces it to a
+    # handful of partitions, but the downstream per-pair set work is
+    # CPU-bound — 10 of 32 cores busy was the measured shape. The
+    # extra exchange moves only (id1, id2) keys.
+    pairs = pairs.repartition(par)
+    # jaccard on distinct sets: union = n1 + n2 - inter (identity), so
+    # a pair pays array_intersect instead of intersect + union. NOTE
+    # the threshold filter collapses into the join condition, which
+    # duplicates the intersect ~3x per probed pair — tolerable on the
+    # int64 hash arrays (~1 us per intersect); on the string fallback
+    # it is the old (pre-r6) cost, paid only in the collision case.
+    inter = F.size(F.array_intersect("s1", "s2"))
     uni = F.col("n1") + F.col("n2") - inter
     jac = F.when(uni == 0, F.lit(0.0)).otherwise(
         inter.cast("double") / uni
     )
     out = (
         pairs.join(
-            sh.select(F.col("id").alias("id1"), F.col("_shd").alias("sh1"),
+            sh.select(F.col("id").alias("id1"), F.col(set_col).alias("s1"),
                       F.col("_nd").alias("n1")),
             "id1",
         )
         .join(
-            sh.select(F.col("id").alias("id2"), F.col("_shd").alias("sh2"),
+            sh.select(F.col("id").alias("id2"), F.col(set_col).alias("s2"),
                       F.col("_nd").alias("n2")),
             "id2",
         )

@@ -226,13 +226,19 @@ def test_percentile_approx_within_1pct_of_exact(spark, docs):
     assert abs(row["approx"] - row["exact"]) <= 0.01 * row["exact"]
 
 
-def test_cache_released_context_and_gc_finalizer(spark):
-    """VERDICT r4 #8: persisted deps are freed by the context manager,
-    and — for call sites that forget both release() and the context —
-    by a weakref finalizer when the result frame is garbage-collected."""
+def test_cache_released_context_and_derived_frame_survival(spark):
+    """Persisted deps are freed by the context manager / release().
+
+    r6: the round-4/5 GC finalizer is GONE — it fired mid-query for
+    the common shape ``op(df).orderBy(...).count()`` (the intermediate
+    wrapper dies at the end of the expression) and silently unpersisted
+    caches the running plan still needed, making the dedup queries
+    2-3x slower through __spark_entry__ than inline. This test pins
+    the new contract: a derived frame keeps the dep cached until an
+    explicit release."""
     import gc
 
-    from geo_inference_spark.text.cache import attach, released
+    from geo_inference_spark.text.cache import attach, release, released
 
     def is_cached(df):
         return df.storageLevel.useMemory or df.storageLevel.useDisk
@@ -247,24 +253,23 @@ def test_cache_released_context_and_gc_finalizer(spark):
         assert is_cached(dep)
     assert not is_cached(dep)
 
-    # GC finalizer is the forgetting-caller safety net
+    # dropping the wrapper does NOT unpersist: a derived frame built
+    # from it (the orderBy-then-count shape) must still see the cache
     dep2 = spark.range(100).persist()
     dep2.count()
-    out2 = attach(spark.range(10), dep2)
-    assert is_cached(dep2)
-    del out2
+    derived = attach(spark.range(10), dep2).orderBy("id")
     gc.collect()
-    assert not is_cached(dep2)
+    assert is_cached(dep2)
+    assert derived.count() == 10
+    assert is_cached(dep2)
+    spark.catalog.clearCache()
 
-    # explicit release detaches the finalizer (no double-unpersist)
+    # explicit release is idempotent
     dep3 = spark.range(100).persist()
     out3 = attach(spark.range(10), dep3)
-    from geo_inference_spark.text.cache import release
-
     release(out3)
     assert not is_cached(dep3)
-    del out3
-    gc.collect()  # finalizer already detached: no error, still free
+    release(out3)  # second release: safe no-op
     assert not is_cached(dep3)
 
 
