@@ -26,6 +26,14 @@ def get_spark(
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # single-threaded BLAS in python workers: with `cores` concurrent
+    # tasks per host, per-task BLAS thread pools oversubscribe the
+    # machine. Workers inherit this process's env (local mode), so it
+    # must be set before the JVM/daemon starts; setdefault keeps any
+    # user override.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if shuffle_partitions is None:
         # 2x task slots keeps all slots busy under AQE coalescing
         shuffle_partitions = max(2 * cores, 8)

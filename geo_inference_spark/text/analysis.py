@@ -136,5 +136,25 @@ def with_token_counts(df: DataFrame, col: str = "text") -> DataFrame:
     return df
 
 
-def with_fingerprint_count(df: DataFrame, col: str = "text") -> DataFrame:
-    return df.withColumn("n_fingerprints", F.expr(fingerprint_expr(P.SPARK, col)))
+def with_fingerprint_count(
+    df: DataFrame, col: str = "text", k: int = 3, window: int = 4
+) -> DataFrame:
+    """Spark side of fingerprint_expr with the md5-hashed shingle
+    array materialized as a COLUMN (VERDICT r5 #1): the single-
+    expression form inlines ``transform(shingles, md5)`` into the
+    per-window lambda, re-evaluating the whole shingle+hash tree per
+    window position — O(L^2) per document (477 s at sf0.1). As a
+    column referenced twice, CollapseProject keeps the projection
+    boundary and each window slices an already-computed array. Values
+    are identical to the oracle's fingerprint_expr(DUCK)."""
+    sh = P.shingles(P.SPARK, col, k)
+    df = df.withColumn("_fp_h", F.expr(f"transform({sh}, s -> md5(s))"))
+    n = "size(_fp_h)"
+    wins = (
+        f"transform(sequence(1, greatest({n} - {window - 1}, 1)),"
+        f" i -> array_min(slice(_fp_h, i, {window})))"
+    )
+    return df.withColumn(
+        "n_fingerprints",
+        F.expr(f"cast(size(array_distinct({wins})) as bigint)"),
+    ).drop("_fp_h")

@@ -271,26 +271,48 @@ def cosine_pairs(
     ).select("id", "v", "b", F.col("_t.i").alias("i"), F.col("_t.j").alias("j"))
 
     def block_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # TILED matmul + conservative prefilter: materializing the full
+        # block-pair cosine matrix and running the 4-temporary rounding
+        # chain over it cost ~0.6 GB of allocation churn per task (13
+        # concurrent tasks thrashed the page cache — the measured
+        # first-run spike). Tiles bound the live matrix at ~16 MB; the
+        # raw-cosine prefilter (thr - 1e-6 covers the worst half-up
+        # rounding distance of 0.5e-6) lets the exact SQL ROUND run on
+        # the few candidates only — output identical.
         i, j = int(key[0]), int(key[1])
         ids = pdf["id"].to_numpy(np.int64)
         m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
         m = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+
+        def tile_hits(ma, ia, mb, ib, same):
+            o1, o2, oc = [], [], []
+            step = max(1, (16 << 20) // max(1, 8 * len(ib)))
+            for lo in range(0, len(ia), step):
+                cos = ma[lo:lo + step] @ mb.T
+                ai, bj = np.nonzero(cos >= thr - 1e-6)
+                if same:
+                    keep = ia[lo + ai] < ib[bj]
+                    ai, bj = ai[keep], bj[keep]
+                if not len(ai):
+                    continue
+                c = np.floor(cos[ai, bj] * 1e6 + 0.5) / 1e6  # SQL ROUND
+                keep = c >= thr
+                ai, bj, c = ai[keep], bj[keep], c[keep]
+                o1.append(np.minimum(ia[lo + ai], ib[bj]))
+                o2.append(np.maximum(ia[lo + ai], ib[bj]))
+                oc.append(c)
+            if not o1:
+                z = np.empty(0, np.int64)
+                return z, z, np.empty(0, np.float64)
+            return np.concatenate(o1), np.concatenate(o2), np.concatenate(oc)
+
         if i == j:
-            cos = m @ m.T
-            cos = np.floor(cos * 1e6 + 0.5) / 1e6  # SQL ROUND half-up
-            hit = (cos >= thr) & (ids[:, None] < ids[None, :])
-            ai, bj = np.nonzero(hit)
-            id1, id2, c = ids[ai], ids[bj], cos[ai, bj]
+            id1, id2, c = tile_hits(m, ids, m, ids, same=True)
         else:
             blk = pdf["b"].to_numpy()
             ma, ia = m[blk == i], ids[blk == i]
             mb, ib = m[blk == j], ids[blk == j]
-            cos = ma @ mb.T
-            cos = np.floor(cos * 1e6 + 0.5) / 1e6
-            ai, bj = np.nonzero(cos >= thr)
-            id1 = np.minimum(ia[ai], ib[bj])
-            id2 = np.maximum(ia[ai], ib[bj])
-            c = cos[ai, bj]
+            id1, id2, c = tile_hits(ma, ia, mb, ib, same=False)
         return pd.DataFrame({"id1": id1, "id2": id2, "cos": c})
 
     return (
@@ -478,15 +500,23 @@ def cosine_pairs_lsh(
     keys_udf = _srp_band_keys_udf(signs, bands, rows_per_band)
     buckets = reps.select(
         "id", F.posexplode(keys_udf(F.col("v"))).alias("band", "key")
-    )
+    ).persist()
+    # materialize eagerly: the cap's count subtree and both self-join
+    # sides otherwise race to fill the cold cache (each re-running the
+    # band-key UDF over not-yet-cached partitions)
+    buckets.count()
     if max_bucket is not None:
-        w = Window.partitionBy("band", "key")
-        buckets = (
-            buckets.withColumn("_bc", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bc") <= max_bucket)
+        # partial-aggregated counts + broadcast anti-join of the few
+        # oversized keys instead of a window over every bucket row
+        # (same result; the shuffle carries one row per DISTINCT
+        # (band, key))
+        big = (
+            buckets.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_bc"))
+            .filter(F.col("_bc") > max_bucket)
             .drop("_bc")
         )
-    buckets = buckets.persist()
+        buckets = buckets.join(F.broadcast(big), ["band", "key"], "left_anti")
     l, r = buckets.alias("l"), buckets.alias("r")
     # min-band dedup instead of a bare distinct: a pair colliding in
     # several bands is reduced to its first colliding band inside the
@@ -516,13 +546,31 @@ def cosine_pairs_lsh(
     v2 = vecs.select(
         F.col("id").alias("id2"), F.col("_v").alias("_v2"), F.col("_n").alias("_n2")
     )
+
+    # dot product via a vectorized pandas UDF with the SAME sequential
+    # left fold as the _DOT SQL expression (acc += a[j]*b[j] over dims
+    # — identical float64 op order, the established oracle contract).
+    # A JVM cos column would be pushed into the join condition by the
+    # threshold filter, where the interpreted 64-term fold re-evaluates
+    # ~3x per probed pair; a UDF column is structurally extracted out.
+    @F.pandas_udf("double")
+    def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series(np.empty(0, np.float64))
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        acc = np.zeros(len(ma))
+        for j in range(ma.shape[1]):  # sequential over dims == SQL fold
+            acc += ma[:, j] * mb[:, j]
+        return pd.Series(acc)
+
     rep_pairs = (
         cand.join(v1, "id1")
         .join(v2, "id2")
         .withColumn(
             "cos",
             F.round(
-                F.expr(_DOT.format(a="_v1", b="_v2"))
+                pair_dot("_v1", "_v2")
                 / (F.sqrt(F.col("_n1")) * F.sqrt(F.col("_n2"))),
                 6,
             ),
