@@ -43,6 +43,7 @@ DEFAULTS = {
     "transformer_rotate": False,
     "cores": 8,
     "min_area": 0.0,
+    "run_id": None,
 }
 
 _TRUE = {"true", "1", "yes", "y"}
@@ -78,6 +79,10 @@ def cmd_interface(argv=None) -> dict:
     p.add_argument("-tr_e", "--transformer_rotate", nargs=1)
     p.add_argument("--cores", type=int, nargs=1, help="local[N] cores")
     p.add_argument("--min_area", type=float, nargs=1)
+    p.add_argument("--run-id", dest="run_id", nargs=1,
+                   help="output-name suffix (default: random 6-hex, "
+                        "the reference's uuid4().hex[:6]; pass a fixed "
+                        "value for reproducible paths)")
     a = p.parse_args(argv)
 
     args = dict(DEFAULTS)
@@ -262,8 +267,13 @@ def run(args: dict) -> dict:
     )
     wd = args["work_dir"]
     os.makedirs(wd, exist_ok=True)
-    out = {}
-    mask_path = os.path.join(wd, "mask_tiles.parquet")
+    # F13: collision-avoidance suffix on output names (reference
+    # geo_inference.py:225 uuid4().hex[:6]); seedable via --run-id
+    from uuid import uuid4
+
+    rid = args.get("run_id") or uuid4().hex[:6]
+    out = {"run_id": rid}
+    mask_path = os.path.join(wd, f"mask_tiles_{rid}.parquet")
     write_mask_tiles(tiles, mask_path)
     out["mask"] = mask_path
     if args["vec"] or args["yolo"] or args["coco"]:
@@ -272,13 +282,13 @@ def run(args: dict) -> dict:
             transform=meta["transform"], min_area=args["min_area"],
         ).persist()
         if args["vec"]:
-            gj = os.path.join(wd, "polygons.geojson")
+            gj = os.path.join(wd, f"polygons_{rid}.geojson")
             write_geojson(polys, gj)
             out["vec"] = gj
         if args["yolo"]:
             from .operators.annotations import yolo_annotations
 
-            yp = os.path.join(wd, "yolo.csv")
+            yp = os.path.join(wd, f"yolo_{rid}.csv")
             write_yolo_csv(
                 yolo_annotations(
                     polys, meta["transform"], meta["width"], meta["height"]
@@ -292,7 +302,7 @@ def run(args: dict) -> dict:
             annos, cats = coco_annotations(
                 polys, meta["transform"], meta["width"], meta["height"]
             )
-            cp = os.path.join(wd, "coco.json")
+            cp = os.path.join(wd, f"coco_{rid}.json")
             doc = coco_dict(
                 annos, cats, os.path.basename(args["image"]),
                 meta["width"], meta["height"],

@@ -27,6 +27,10 @@ from pyspark.sql import functions as F
 def with_salt(df: DataFrame, n: int, col: str = "_salt") -> DataFrame:
     """Uniform salt derived from a nondeterministic uniform — cheap,
     JVM-side, no correlation with data columns."""
+    if col in df.columns:
+        # ADVICE r5: a pre-existing '_salt' (or '_rn'/'rn' in the
+        # top-k path) would silently collide with the helper columns
+        raise ValueError(f"input already has a column named {col!r}")
     return df.withColumn(col, (F.rand(seed=7) * n).cast("int"))
 
 
@@ -90,6 +94,12 @@ def salted_topk(
     ``tie_col`` (default: first key-external deterministic column
     required from the caller) so both phases rank identically.
     """
+    for reserved in ("_salt", "_rn", "rn"):
+        if reserved in df.columns:
+            raise ValueError(
+                f"salted_topk: input already has a column named "
+                f"{reserved!r} (reserved for the salt/rank helpers)"
+            )
     order = [
         F.col(order_col).desc() if desc else F.col(order_col).asc()
     ]
@@ -115,3 +125,69 @@ def repartition_salted(df: DataFrame, keys: list[str], n: int = 16) -> DataFrame
     partitions ahead of a grouped UDF that tolerates split groups
     (i.e. whose reducer is associative)."""
     return with_salt(df, n).repartition(*[F.col(k) for k in keys], F.col("_salt"))
+
+
+def estimate_hot_share(
+    df: DataFrame,
+    keys: list[str],
+    sample_fraction: float = 0.05,
+    seed: int = 7,
+) -> float:
+    """Fraction of rows held by the single hottest key, estimated
+    from a row sample — ONE small job over the projected keys (the
+    AQE-stats analogue for pre-shuffle decisions; at 10^12 rows pass
+    a correspondingly smaller fraction)."""
+    row = (
+        df.select(*keys)
+        .sample(False, sample_fraction, seed)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+        .collect()[0]
+    )
+    if not row["tot"]:
+        return 0.0
+    return float(row["mx"]) / float(row["tot"])
+
+
+def choose_salting(
+    df: DataFrame,
+    keys: list[str],
+    sample_fraction: float = 0.05,
+    hot_share: float = 0.05,
+    seed: int = 7,
+) -> bool:
+    """The auto-salt decision (VERDICT r5 #7): salt only when a
+    sampled key-frequency probe finds a measured-hot key. The planted-
+    skew bench (scripts/bench_skew.py) shows salting wins ~1.8x on a
+    hot-key window top-k but LOSES on fine-grained keys (two shuffles
+    for nothing), so the decision needs data, not a constant."""
+    return estimate_hot_share(df, keys, sample_fraction, seed) >= hot_share
+
+
+def salted_topk_auto(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    k: int,
+    n: int = 16,
+    desc: bool = True,
+    tie_col: str | None = None,
+    sample_fraction: float = 0.05,
+    hot_share: float = 0.05,
+) -> DataFrame:
+    """salted_topk when the key-frequency probe says the keys are
+    skewed, plain single-window top-k otherwise. Identical output
+    either way (salting is algebraically invisible for top-k)."""
+    from pyspark.sql import Window
+
+    if choose_salting(df, keys, sample_fraction, hot_share):
+        return salted_topk(df, keys, order_col, k, n, desc, tie_col)
+    order = [F.col(order_col).desc() if desc else F.col(order_col).asc()]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )

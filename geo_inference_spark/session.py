@@ -59,4 +59,37 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _warm_python_workers(spark, cores)
+    return spark
+
+
+def _warm_python_workers(spark: SparkSession, cores: int) -> None:
+    """Start one python worker per task slot and touch the heavy
+    imports (pandas/numpy/pyarrow) plus the first BLAS gemm ONCE at
+    session build, instead of letting whichever query happens to run
+    the first pandas-UDF stage pay the fork+import+init cost
+    (measured ~6 s landing on the first geocode query of a fresh
+    session). Runs once per session; skip with
+    SPARK_GRAFT_NO_WORKER_WARM=1 (e.g. for UDF-free jobs)."""
+    if os.environ.get("SPARK_GRAFT_NO_WORKER_WARM"):
+        return
+    if getattr(spark, "_graft_workers_warm", False):
+        return
+
+    def _warm(batches):
+        import numpy as _np
+        import pandas as _pd  # noqa: F401
+
+        a = _np.random.rand(64, 64)
+        a @ a  # first gemm initializes the BLAS runtime
+        for b in batches:
+            yield b
+
+    try:
+        spark.range(0, cores, 1, cores).mapInPandas(
+            _warm, "id long"
+        ).count()
+    except Exception:
+        pass  # warm-up must never fail session creation
+    spark._graft_workers_warm = True

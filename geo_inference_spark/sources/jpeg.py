@@ -22,8 +22,10 @@ the PNG/TIFF/zarr codecs:
   here, so the correctness gate certifies the whole entropy-coding
   layer against independent math.
 
-Unsupported (raise loudly): progressive (SOF2), arithmetic coding,
-12-bit precision, >3 components.
+Unsupported (raise loudly): arithmetic coding, 12-bit precision,
+>3 components. Progressive (SOF2) IS supported — both
+``encode_jpeg_progressive`` and the decoder's ``_progressive_scan``
+path (spectral selection + successive approximation).
 
 Entropy decode is a per-symbol Python loop (inherently sequential);
 everything after it — dequantize, de-zigzag, IDCT, upsample, color

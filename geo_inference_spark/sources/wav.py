@@ -64,6 +64,11 @@ def decode_wav(b: bytes):
     audio_format, ch, rate, _brate, _block, bits = fmt
     if ch == 0:
         raise ValueError("corrupt WAV: zero channels")
+    if rate <= 0:
+        # ADVICE r5: a declared sample_rate of 0 must degrade to the
+        # corrupt-stream stub (duration math divides by it), never
+        # raise ZeroDivisionError inside an Arrow batch
+        raise ValueError("corrupt WAV: non-positive sample rate")
     if audio_format == 1:  # integer PCM
         if bits == 8:
             x = np.frombuffer(data, dtype=np.uint8).astype(np.float64)

@@ -63,3 +63,20 @@ def test_cli_end_to_end_npy(tmp_path, spark):
     coco = json.load(open(out["coco"]))
     assert coco["annotations"] and coco["images"][0]["width"] == 16
     assert os.path.isdir(out["yolo"])
+
+
+def test_run_id_suffix_avoids_collisions(tmp_path, spark):
+    """F13 (VERDICT r5 #9): two runs into the same work_dir get
+    distinct output names; a fixed --run-id pins them."""
+    rng = np.random.RandomState(4)
+    arr = rng.uniform(0, 255, size=(1, 8, 8))
+    rp = str(tmp_path / "r.npy")
+    np.save(rp, arr)
+    base = ["-i", rp, "-cls", "2", "-ps", "8", "-wd",
+            str(tmp_path / "out"), "--cores", "2"]
+    o1 = run(cmd_interface(base))
+    o2 = run(cmd_interface(base))
+    assert o1["mask"] != o2["mask"] and os.path.isdir(o1["mask"]) \
+        and os.path.isdir(o2["mask"])
+    o3 = run(cmd_interface(base + ["--run-id", "fixed1"]))
+    assert o3["mask"].endswith("mask_tiles_fixed1.parquet")

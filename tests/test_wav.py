@@ -102,3 +102,22 @@ def test_decode_audio_operator(spark):
         )
         assert r["duration_ms"] == dur and r["rms"] == rms
     assert got[99]["sample_rate"] == -1  # stub path flagged
+
+
+def test_zero_sample_rate_degrades_to_stub():
+    """ADVICE r5: sample_rate=0 in the fmt chunk is corrupt — decode_wav
+    raises ValueError (caught by decode_audio's stub fallback), never
+    ZeroDivisionError inside the Arrow batch."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from geo_inference_spark.sources.wav import decode_wav, encode_wav
+
+    good = bytearray(encode_wav(np.zeros((10, 1), dtype=np.int16), 8000))
+    # fmt chunk sample_rate field: RIFF(12) + 'fmt '+len(8) + fmt(2)+ch(2)
+    off = 12 + 8 + 2 + 2
+    good[off:off + 4] = struct.pack("<I", 0)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(good))

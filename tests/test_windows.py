@@ -94,3 +94,60 @@ def test_positional_window_matches_golden_3x3():
     np.testing.assert_allclose(
         positional_window(1, 0, 5, 5, m), gold[("mid", "lo")], atol=1e-12
     )
+
+
+def test_salted_topk_rejects_reserved_columns(spark):
+    """ADVICE r5: pre-existing _salt/_rn/rn columns would silently
+    collide with the salting helpers — loud error instead."""
+    import pytest
+
+    from geo_inference_spark.operators.salting import salted_topk, with_salt
+
+    df = spark.createDataFrame([(1, 2, 3)], "k long, v long, rn long")
+    with pytest.raises(ValueError):
+        salted_topk(df, ["k"], "v", k=1, tie_col="k")
+    df2 = spark.createDataFrame([(1, 2)], "k long, _salt long")
+    with pytest.raises(ValueError):
+        with_salt(df2, 4)
+
+
+def test_auto_salt_chooses_by_measured_skew(spark):
+    """VERDICT r5 #7: the sampled key-frequency probe salts the
+    planted-hot-key regime and not the fine-grained one, and the
+    auto top-k output equals the plain window either way."""
+    import pandas as pd
+
+    from geo_inference_spark.operators.salting import (
+        choose_salting,
+        salted_topk_auto,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n = 20_000
+    rng = __import__("numpy").random.RandomState(3)
+    hot = pd.DataFrame({
+        "k": ["hot" if x < 0.3 else f"k{int(x*5000)}"
+              for x in rng.uniform(size=n)],
+        "v": rng.uniform(size=n),
+        "id": range(n),
+    })
+    fine = pd.DataFrame({
+        "k": [f"k{i % 5000}" for i in range(n)],
+        "v": rng.uniform(size=n),
+        "id": range(n),
+    })
+    hot_df = spark.createDataFrame(hot)
+    fine_df = spark.createDataFrame(fine)
+    assert choose_salting(hot_df, ["k"], sample_fraction=0.5)
+    assert not choose_salting(fine_df, ["k"], sample_fraction=0.5)
+
+    for df in (hot_df, fine_df):
+        got = salted_topk_auto(df, ["k"], "v", k=2, tie_col="id")
+        w = Window.partitionBy("k").orderBy(
+            F.col("v").desc(), F.col("id").asc()
+        )
+        exp = (df.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= 2))
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, exp.collect()))
