@@ -154,15 +154,23 @@ def choose_salting(
     df: DataFrame,
     keys: list[str],
     sample_fraction: float = 0.05,
-    hot_share: float = 0.05,
+    straggler_factor: float = 8.0,
+    parallelism: int | None = None,
     seed: int = 7,
 ) -> bool:
-    """The auto-salt decision (VERDICT r5 #7): salt only when a
-    sampled key-frequency probe finds a measured-hot key. The planted-
-    skew bench (scripts/bench_skew.py) shows salting wins ~1.8x on a
-    hot-key window top-k but LOSES on fine-grained keys (two shuffles
-    for nothing), so the decision needs data, not a constant."""
-    return estimate_hot_share(df, keys, sample_fraction, seed) >= hot_share
+    """The auto-salt decision (VERDICT r5 #7): salt only when the
+    sampled hottest key would be a STRAGGLER — i.e. its row share
+    exceeds ``straggler_factor`` times the fair per-slot share
+    (1/parallelism). A hot share alone is not enough: the planted-skew
+    bench shows the two-phase top-k only pays off once one task's key
+    dwarfs the per-slot work (at local[8] a 30%-hot key is ~2.4x the
+    per-slot share and plain wins; at 10^5 slots the same 30% is
+    ~3x10^4 slots' worth and salting is mandatory). The probe is one
+    sampled aggregation over the projected keys."""
+    if parallelism is None:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+    share = estimate_hot_share(df, keys, sample_fraction, seed)
+    return share >= straggler_factor / max(1, parallelism)
 
 
 def salted_topk_auto(
@@ -174,14 +182,15 @@ def salted_topk_auto(
     desc: bool = True,
     tie_col: str | None = None,
     sample_fraction: float = 0.05,
-    hot_share: float = 0.05,
+    straggler_factor: float = 8.0,
 ) -> DataFrame:
-    """salted_topk when the key-frequency probe says the keys are
-    skewed, plain single-window top-k otherwise. Identical output
-    either way (salting is algebraically invisible for top-k)."""
+    """salted_topk when the key-frequency probe says the hottest key
+    is straggler-sized, plain single-window top-k otherwise.
+    Identical output either way (salting is algebraically invisible
+    for top-k)."""
     from pyspark.sql import Window
 
-    if choose_salting(df, keys, sample_fraction, hot_share):
+    if choose_salting(df, keys, sample_fraction, straggler_factor):
         return salted_topk(df, keys, order_col, k, n, desc, tie_col)
     order = [F.col(order_col).desc() if desc else F.col(order_col).asc()]
     if tie_col is not None:

@@ -118,12 +118,35 @@ def main():
     t_plain_topk = median3(plain_topk)
     t_salt_topk = median3(salt_topk)
 
+    # C: the auto decision (VERDICT r5 #7) — should track the better
+    # of plain/salted in each regime (its probe is one sampled agg)
+    from geo_inference_spark.operators.salting import (
+        choose_salting,
+        salted_topk_auto,
+    )
+
+    def auto_topk():
+        salted_topk_auto(
+            pages, ["cell"], "score", k=5, n=8, tie_col="page_id",
+            sample_fraction=0.01,
+        ).count()
+
+    t_auto_topk = median3(auto_topk)
+
     print(json.dumps({
         "n_rows": n, "hot_frac": hot, "res": res, "cores": 8,
         "count_plain_sec": round(t_plain_cnt, 3),
         "count_salted_sec": round(t_salt_cnt, 3),
         "topk_plain_sec": round(t_plain_topk, 3),
         "topk_salted_sec": round(t_salt_topk, 3),
+        "topk_auto_sec": round(t_auto_topk, 3),
+        "auto_chose_salting": choose_salting(
+            pages, ["cell"], sample_fraction=0.01
+        ),
+        "hot_share_est": round(__import__(
+            "geo_inference_spark.operators.salting",
+            fromlist=["estimate_hot_share"],
+        ).estimate_hot_share(pages, ["cell"], 0.01), 3),
         "topk_speedup": round(t_plain_topk / t_salt_topk, 2),
     }))
 

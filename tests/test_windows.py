@@ -139,8 +139,14 @@ def test_auto_salt_chooses_by_measured_skew(spark):
     })
     hot_df = spark.createDataFrame(hot)
     fine_df = spark.createDataFrame(fine)
-    assert choose_salting(hot_df, ["k"], sample_fraction=0.5)
-    assert not choose_salting(fine_df, ["k"], sample_fraction=0.5)
+    # straggler rule: a 30%-hot key salts once the fair per-slot share
+    # is well below it (many slots), and never for fine-grained keys
+    assert choose_salting(hot_df, ["k"], sample_fraction=0.5,
+                          straggler_factor=8, parallelism=100)
+    assert not choose_salting(hot_df, ["k"], sample_fraction=0.5,
+                              straggler_factor=8, parallelism=8)
+    assert not choose_salting(fine_df, ["k"], sample_fraction=0.5,
+                              straggler_factor=8, parallelism=1000)
 
     for df in (hot_df, fine_df):
         got = salted_topk_auto(df, ["k"], "v", k=2, tie_col="id")
