@@ -101,27 +101,59 @@ def forge_warc_distributed(
     parallelizes across all slots. Returns a (url, offset, length)
     CDX index DataFrame like write_warc_with_index."""
 
-    def build(batches):
-        for pdf in batches:
-            blobs, urls = [], []
-            for url, payload in zip(pdf[url_col], pdf[payload_col]):
-                rec = _record_bytes(str(url), ts, bytes(payload))
-                if compress:
-                    co = zlib.compressobj(level, zlib.DEFLATED, 31)
-                    rec = co.compress(rec) + co.flush()
-                blobs.append(rec)
-                urls.append(str(url))
-            yield pd.DataFrame({"url": urls, "blob": blobs})
+    import shutil
 
-    parts = df.mapInPandas(build, "url string, blob binary").toPandas()
-    idx = []
+    part_dir = path + ".parts"
+    os.makedirs(part_dir, exist_ok=True)
+
+    def build(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        ppath = os.path.join(part_dir, f"p{pid:05d}")
+        urls, offs, lens = [], [], []
+        with open(ppath, "wb") as f:
+            for pdf in batches:
+                for url, payload in zip(pdf[url_col], pdf[payload_col]):
+                    rec = _record_bytes(str(url), ts, bytes(payload))
+                    if compress:
+                        co = zlib.compressobj(level, zlib.DEFLATED, 31)
+                        rec = co.compress(rec) + co.flush()
+                    offs.append(f.tell())
+                    lens.append(f.write(rec))
+                    urls.append(str(url))
+        yield pd.DataFrame({
+            "url": urls, "part": np.full(len(urls), pid, np.int64),
+            "off": np.asarray(offs, np.int64),
+            "length": np.asarray(lens, np.int64),
+        })
+
+    # each task writes its own part file (bounded memory at ANY forge
+    # size — only the small (url, offset, length) index crosses to the
+    # driver); the driver concatenates raw part bytes and rebases the
+    # offsets. Local-FS fixture forge: executors and driver share the
+    # filesystem (local mode / shared tmp), which is the fixture
+    # contract — production archives come from real crawlers.
+    parts = df.mapInPandas(
+        build, "url string, part long, off long, length long"
+    ).toPandas()
+    base: dict[int, int] = {}
+    pos = 0
     with open(path, "wb") as f:
-        for url, blob in zip(parts["url"], parts["blob"]):
-            off = f.tell()
-            b = bytes(blob)
-            f.write(b)
-            idx.append((url, off, len(b)))
-    return pd.DataFrame(idx, columns=["url", "offset", "length"])
+        for pid in sorted(parts["part"].unique()):
+            base[int(pid)] = pos
+            ppath = os.path.join(part_dir, f"p{int(pid):05d}")
+            with open(ppath, "rb") as pf:
+                shutil.copyfileobj(pf, f, 16 << 20)
+            pos = f.tell()
+            os.remove(ppath)
+    os.rmdir(part_dir)
+    idx = pd.DataFrame({
+        "url": parts["url"],
+        "offset": parts["off"] + parts["part"].map(base),
+        "length": parts["length"],
+    })
+    return idx
 
 
 # ---------------------------------------------------------------- parser
