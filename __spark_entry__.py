@@ -272,14 +272,11 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, word) — asserted in tests/test_plans.py."""
     from pyspark.sql import Window
 
-    # repartition the slim (lang, text) projection: the single-file
-    # scan is one partition, which would run the whole explode +
-    # partial aggregation on one core
-    docs = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select("lang", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # NOTE r6: a repartition of (lang, text) before the explode was
+    # tried and measured SLOWER across three full bench runs at the
+    # scaled sf1.0 (1.9 -> 2.5-3.2 s): the shuffle's fixed cost
+    # exceeds the single-core explode at this text volume. Reverted.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     words = docs.select(
         "lang",
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
@@ -366,15 +363,10 @@ def q_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_langs = docs.select("lang").distinct().count()  # tiny driver scalar
-    words = (
-        docs.select("lang", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(
-            "lang",
-            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
-        )
-        .filter(F.col("word") != "")
-    )
+    words = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
     tf = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
     df_ = tf.groupBy("word").agg(
         F.countDistinct("lang").alias("df")
