@@ -218,8 +218,11 @@ def srp_lsh_topk(
     the query signature (cheap driver-side for <= 2 bits).
     """
     sig = srp_signature_udf(dim, nbits)
-    base = _with_norm(emb, vec_col).select(
-        F.col(id_col).alias("id"), "_v", "_n",
+    # bucket signature ONLY before the probe join; _v/_n are computed
+    # on the surviving candidates (~probe/2^nbits of rows) after it —
+    # pre-join norms paid the fold for every row (r6 measured +0.6 s)
+    base = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_raw"),
         sig(F.col(vec_col)).alias("bucket"),
     )
     qp = queries.toPandas()
@@ -247,9 +250,9 @@ def srp_lsh_topk(
         F.col(qid_col).alias("qid"), F.col("_v").alias("_qv"),
         F.col("_n").alias("_qn"),
     )
-    cands = base.join(F.broadcast(probe_df), on="bucket").join(
-        F.broadcast(q), on="qid"
-    )
+    cands = _with_norm(
+        base.join(F.broadcast(probe_df), on="bucket"), "_raw"
+    ).join(F.broadcast(q), on="qid")
     scored = cands.withColumn(
         "cos",
         F.round(
@@ -826,8 +829,11 @@ def ivf_topk(
     ).astype(np.float64)
     cents = _kmeans_centroids(train, n_lists, seed=seed)
     assign = ivf_assign_udf(cents)
-    base = _with_norm(emb, vec_col).select(
-        F.col(id_col).alias("id"), "_v", "_n",
+    # list assignment ONLY before the probe join; norms are computed
+    # on the probed candidates inside _ivf_refine (pre-join norms paid
+    # the fold for every row)
+    base = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_raw"),
         assign(F.col(vec_col)).alias("list"),
     )
     return _ivf_refine(spark, base, queries, cents, k, n_probe,
@@ -872,9 +878,9 @@ def _ivf_refine(
         F.col(qid_col).alias("qid"), F.col("_v").alias("_qv"),
         F.col("_n").alias("_qn"),
     )
-    cands = base.join(F.broadcast(probe_df), on="list").join(
-        F.broadcast(q), on="qid"
-    )
+    cands = _with_norm(
+        base.join(F.broadcast(probe_df), on="list"), "_raw"
+    ).join(F.broadcast(q), on="qid")
     scored = cands.withColumn(
         "cos",
         F.round(
@@ -954,8 +960,8 @@ def ivf_topk_indexed(
         {c for _, c in _ivf_probes(cents, qp, n_probe, qid_col, qvec_col)}
     )
     emb = spark.read.parquet(path).filter(F.col("list").isin(probe_lists))
-    base = _with_norm(emb, vec_col).select(
-        F.col(id_col).alias("id"), "_v", "_n", "list"
+    base = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_raw"), "list"
     )
     return _ivf_refine(spark, base, queries, cents, k, n_probe,
                        qid_col, qvec_col)
