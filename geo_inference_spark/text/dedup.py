@@ -343,20 +343,25 @@ def jaccard_verified_pairs(
         .withColumn("_nd", F.size("_shd"))
         .persist()
     )
-    n_docs = sig.count()  # eager materialize (see lsh_candidate_pairs)
-    # Verify on 64-bit shingle hashes WHEN INJECTIVE on this input
-    # (one aggregate proves it: #distinct shingles == #distinct
-    # hashes). The per-pair work and the bytes every join ships drop
-    # ~10x vs string sets — serializing ~10^8 shingle strings through
-    # the verify joins was the measured hot spot. If the corpus ever
+    n_docs = df.count()  # metadata-only on a parquet scan
+    # Verify on 64-bit shingle hashes WHEN INJECTIVE on this input.
+    # The proof: over the DISTINCT (shingle, hash) rows — whose count
+    # equals #distinct shingles, hash being a function of shingle —
+    # #rows == #distinct hashes. Distinct-then-aggregate partial-
+    # aggregates map-side (shuffles one row per distinct shingle)
+    # instead of the dual-countDistinct Expand rewrite that doubled
+    # the exploded stream; this job also eagerly materializes the sig
+    # cache before its multi-consumer stages. If the corpus ever
     # produces a 64-bit collision (expected only past ~10^9 distinct
     # shingles), the check fails and the verify runs on the exact
     # string sets instead — identical output either way.
     chk = (
         sig.select(F.explode(F.arrays_zip("_shd", "_shh")).alias("z"))
+        .select(F.col("z._shd").alias("s"), F.col("z._shh").alias("h"))
+        .distinct()
         .agg(
-            F.countDistinct("z._shd").alias("ds"),
-            F.countDistinct("z._shh").alias("dh"),
+            F.count(F.lit(1)).alias("ds"),
+            F.countDistinct("h").alias("dh"),
         )
         .collect()[0]
     )
