@@ -94,6 +94,42 @@ def _pair_dot_udf():
     return _PAIR_DOT_UDF
 
 
+_COS_UDF = None
+
+
+def _cos_udf():
+    """Full cosine quotient dot/(sqrt(na)*sqrt(nb)) of two raw vector
+    columns in ONE pandas UDF. The dot and both norms are the same
+    sequential left folds as _norm_udf/_pair_dot_udf, and sqrt,
+    multiply and divide are single correctly-rounded IEEE-754 double
+    ops wherever they run, so the value is bit-identical to the split
+    norm-column + dot-column formulation — while the plan pays one
+    ArrowEvalPython stage instead of a chain of three (norm(a) before
+    the join, norm(b) on the query side, dot after), which dominated
+    the small top-k queries."""
+    global _COS_UDF
+    if _COS_UDF is None:
+        from pyspark.sql.types import DoubleType
+
+        @F.pandas_udf(DoubleType())
+        def cos_quot(a: pd.Series, b: pd.Series) -> pd.Series:
+            if not len(a):
+                return pd.Series(np.empty(0, np.float64))
+            ma = np.stack(a.to_numpy()).astype(np.float64)
+            mb = np.stack(b.to_numpy()).astype(np.float64)
+            dot = np.zeros(len(ma))
+            na = np.zeros(len(ma))
+            nb = np.zeros(len(ma))
+            for j in range(ma.shape[1]):  # sequential == SQL fold
+                dot += ma[:, j] * mb[:, j]
+                na += ma[:, j] * ma[:, j]
+                nb += mb[:, j] * mb[:, j]
+            return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+        _COS_UDF = cos_quot
+    return _COS_UDF
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -104,21 +140,12 @@ def cosine_topk(
     qvec_col: str = "qvec",
 ) -> DataFrame:
     """(qid, id, cos, rn) — exact top-k by cosine, ties by id."""
-    base = _with_norm(emb, vec_col).select(
-        F.col(id_col).alias("id"), "_v", "_n"
-    )
-    q = _with_norm(queries.withColumnRenamed(qvec_col, "embedding"), "embedding").select(
-        F.col(qid_col).alias("qid"),
-        F.col("_v").alias("_qv"),
-        F.col("_n").alias("_qn"),
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_raw"))
+    q = queries.select(
+        F.col(qid_col).alias("qid"), F.col(qvec_col).alias("_qraw")
     )
     scored = base.crossJoin(F.broadcast(q)).withColumn(
-        "cos",
-        F.round(
-            _pair_dot_udf()(F.col("_v"), F.col("_qv"))
-            / (F.sqrt(F.col("_n")) * F.sqrt(F.col("_qn"))),
-            6,
-        ),
+        "cos", F.round(_cos_udf()(F.col("_raw"), F.col("_qraw")), 6)
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
     return (
@@ -218,12 +245,18 @@ def srp_lsh_topk(
     the query signature (cheap driver-side for <= 2 bits).
     """
     sig = srp_signature_udf(dim, nbits)
-    # bucket signature ONLY before the probe join; _v/_n are computed
-    # on the surviving candidates (~probe/2^nbits of rows) after it —
-    # pre-join norms paid the fold for every row (r6 measured +0.6 s)
+    # bucket signature ONLY before the probe join; norms and dot are
+    # fused into one _cos_udf over the surviving candidates
+    # (~probe/2^nbits of rows) after it — pre-join norms paid the fold
+    # for every row (r6 measured +0.6 s), and split norm/dot UDF
+    # columns cost three chained ArrowEvalPython stages
+    # coalesce makes the UDF key non-nullable: the probe equi-join
+    # otherwise infers isnotnull(bucket) as a pre-join Filter, which
+    # materializes a SECOND ArrowEvalPython running sig over every row
+    # (plan-verified); sig never returns null so values are identical
     base = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("_raw"),
-        sig(F.col(vec_col)).alias("bucket"),
+        F.coalesce(sig(F.col(vec_col)), F.lit(0)).alias("bucket"),
     )
     qp = queries.toPandas()
     planes = _srp_planes(dim, nbits)
@@ -244,22 +277,14 @@ def srp_lsh_topk(
         for c in cand:
             probes.append((int(row[qid_col]), c))
     probe_df = spark.createDataFrame(probes, schema="qid long, bucket long")
-    q = _with_norm(
-        queries.withColumnRenamed(qvec_col, "embedding"), "embedding"
-    ).select(
-        F.col(qid_col).alias("qid"), F.col("_v").alias("_qv"),
-        F.col("_n").alias("_qn"),
+    q = queries.select(
+        F.col(qid_col).alias("qid"), F.col(qvec_col).alias("_qraw")
     )
-    cands = _with_norm(
-        base.join(F.broadcast(probe_df), on="bucket"), "_raw"
-    ).join(F.broadcast(q), on="qid")
+    cands = base.join(F.broadcast(probe_df), on="bucket").join(
+        F.broadcast(q), on="qid"
+    )
     scored = cands.withColumn(
-        "cos",
-        F.round(
-            _pair_dot_udf()(F.col("_v"), F.col("_qv"))
-            / (F.sqrt(F.col("_n")) * F.sqrt(F.col("_qn"))),
-            6,
-        ),
+        "cos", F.round(_cos_udf()(F.col("_raw"), F.col("_qraw")), 6)
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
     return (
@@ -831,10 +856,11 @@ def ivf_topk(
     assign = ivf_assign_udf(cents)
     # list assignment ONLY before the probe join; norms are computed
     # on the probed candidates inside _ivf_refine (pre-join norms paid
-    # the fold for every row)
+    # the fold for every row). coalesce: see srp_lsh_topk — keeps the
+    # inferred isnotnull(list) from duplicating the assign UDF.
     base = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("_raw"),
-        assign(F.col(vec_col)).alias("list"),
+        F.coalesce(assign(F.col(vec_col)), F.lit(0)).alias("list"),
     )
     return _ivf_refine(spark, base, queries, cents, k, n_probe,
                        qid_col, qvec_col)
@@ -872,22 +898,14 @@ def _ivf_refine(
     qp = queries.toPandas()
     probes = _ivf_probes(cents, qp, n_probe, qid_col, qvec_col)
     probe_df = spark.createDataFrame(probes, schema="qid long, list long")
-    q = _with_norm(
-        queries.withColumnRenamed(qvec_col, "embedding"), "embedding"
-    ).select(
-        F.col(qid_col).alias("qid"), F.col("_v").alias("_qv"),
-        F.col("_n").alias("_qn"),
+    q = queries.select(
+        F.col(qid_col).alias("qid"), F.col(qvec_col).alias("_qraw")
     )
-    cands = _with_norm(
-        base.join(F.broadcast(probe_df), on="list"), "_raw"
-    ).join(F.broadcast(q), on="qid")
+    cands = base.join(F.broadcast(probe_df), on="list").join(
+        F.broadcast(q), on="qid"
+    )
     scored = cands.withColumn(
-        "cos",
-        F.round(
-            _pair_dot_udf()(F.col("_v"), F.col("_qv"))
-            / (F.sqrt(F.col("_n")) * F.sqrt(F.col("_qn"))),
-            6,
-        ),
+        "cos", F.round(_cos_udf()(F.col("_raw"), F.col("_qraw")), 6)
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
     return (
