@@ -53,6 +53,29 @@ def get_spark(
         # variance at 32 slots. Parameterized: a real cluster sets
         # executor memory via spark-submit instead.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # Whole-stage-codegen methods routinely exceed HotSpot's
+        # 8000-bytecode DontCompileHugeMethods limit; when that
+        # happens the JVM silently runs the hot generated method
+        # INTERPRETED — measured here as a 5 s vs 20-56 s bimodal
+        # swing on the dedup verify join before its expression was
+        # restructured. Lifting the limit (plus code cache headroom)
+        # is the standard Spark production setting and is
+        # scale-independent; in local mode the driver JVM is the
+        # executor, a cluster passes the same flags per executor.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+            ),
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_EXECUTOR_JAVA_OPTS",
+                "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -23,6 +23,7 @@ shuffled hash join with AQE skew splitting.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -388,12 +389,28 @@ def jaccard_verified_pairs(
     # extra exchange moves only (id1, id2) keys.
     pairs = pairs.repartition(par)
     # jaccard on distinct sets: union = n1 + n2 - inter (identity), so
-    # a pair pays array_intersect instead of intersect + union. NOTE
-    # the threshold filter collapses into the join condition, which
-    # duplicates the intersect ~3x per probed pair — tolerable on the
-    # int64 hash arrays (~1 us per intersect); on the string fallback
-    # it is the old (pre-r6) cost, paid only in the collision case.
-    inter = F.size(F.array_intersect("s1", "s2"))
+    # a pair pays ONE set intersection. The intersection size comes
+    # from a pandas UDF rather than array_intersect: a JVM expression
+    # is collapsed into the broadcast-join CONDITION by the threshold
+    # filter, where it was evaluated 3x per probed pair (+2x in the
+    # output project) inside one huge generated method the JVM
+    # intermittently refused to JIT (DontCompileHugeMethods) — the
+    # measured 5 s vs 20-56 s bimodality of this query. The UDF column
+    # is structurally extracted above the join (the cosine_pairs_lsh
+    # fence), the joins stay pure hash probes, and both arrays are
+    # already distinct so the cardinality is exact on either the int64
+    # hash sets or the string fallback.
+    @F.pandas_udf("long")
+    def inter_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                out.append(None)  # matches null-propagating SQL
+            else:
+                out.append(np.intersect1d(x, y).size)
+        return pd.Series(out, dtype="Int64")
+
+    inter = F.col("_int")
     uni = F.col("n1") + F.col("n2") - inter
     jac = F.when(uni == 0, F.lit(0.0)).otherwise(
         inter.cast("double") / uni
@@ -409,6 +426,7 @@ def jaccard_verified_pairs(
                       F.col("_nd").alias("n2")),
             "id2",
         )
+        .withColumn("_int", inter_udf(F.col("s1"), F.col("s2")))
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")

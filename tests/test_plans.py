@@ -140,3 +140,36 @@ def test_top_tokens_partial_agg_before_shuffle(spark):
     above = [ln for ln in lines[:ig]
              if "HashAggregate" in ln or "Exchange" in ln]
     assert above and "HashAggregate" in above[-1], plan
+
+
+def test_jaccard_intersect_not_in_join_condition(spark):
+    """The verify intersect must be an ArrowEvalPython COLUMN, never a
+    JVM expression the threshold filter collapses into the broadcast
+    join condition — there it was evaluated 3x per probed pair inside
+    a generated method big enough that HotSpot intermittently refused
+    to JIT it (the measured 5 s vs 20-56 s bimodality, r6)."""
+    from geo_inference_spark.text.dedup import jaccard_verified_pairs, release
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = jaccard_verified_pairs(docs, threshold=0.5)
+    plan = plan_of(out)
+    assert "array_intersect" not in plan
+    assert "ArrowEvalPython" in plan
+    release(out)
+
+
+def test_srp_signature_runs_once(spark):
+    """The probe equi-join's inferred isnotnull(bucket) must not
+    materialize a second ArrowEvalPython running the signature UDF
+    over every row (the coalesce(udf, 0) non-nullable key fence)."""
+    from geo_inference_spark.text.similarity import (
+        embedding_queries,
+        srp_lsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = srp_lsh_topk(spark, emb, embedding_queries(emb, n=4), k=5)
+    plan = plan_of(out)
+    # exactly two python stages: the signature over base rows and the
+    # fused cosine over candidates
+    assert plan.count("ArrowEvalPython") == 2, plan
