@@ -1127,29 +1127,24 @@ def cosine_for_pairs(
     semantic-verification stage of hybrid dedup: lexical (MinHash-LSH)
     candidates are refined by embedding similarity, so near-dups that
     share boilerplate but differ in meaning are separated from true
-    semantic duplicates. Two broadcast-sized joins against the normed
-    projection; no pair generation here, so cost is O(|pairs|)."""
-    vecs = _with_norm(emb, vec_col).select(
-        F.col(id_col).alias("id"), "_v", "_n"
-    )
+    semantic duplicates. Two broadcast-sized joins against the raw
+    vector projection; no pair generation here, so cost is
+    O(|pairs|). Scoring is the fused _cos_udf (one ArrowEvalPython
+    instead of the norm-UDF + dot-UDF chain), which also halves the
+    per-pair bytes the joins carry: raw float32 vectors instead of
+    the cast double arrays."""
+    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_r"))
     out = (
         pairs.join(
-            vecs.select(F.col("id").alias("id1"),
-                        F.col("_v").alias("_v1"), F.col("_n").alias("_n1")),
+            vecs.select(F.col("id").alias("id1"), F.col("_r").alias("_r1")),
             "id1",
         )
         .join(
-            vecs.select(F.col("id").alias("id2"),
-                        F.col("_v").alias("_v2"), F.col("_n").alias("_n2")),
+            vecs.select(F.col("id").alias("id2"), F.col("_r").alias("_r2")),
             "id2",
         )
         .withColumn(
-            "cos",
-            F.round(
-                _pair_dot_udf()(F.col("_v1"), F.col("_v2"))
-                / (F.sqrt(F.col("_n1")) * F.sqrt(F.col("_n2"))),
-                6,
-            ),
+            "cos", F.round(_cos_udf()(F.col("_r1"), F.col("_r2")), 6)
         )
         .select("id1", "id2", "cos")
     )
