@@ -572,15 +572,13 @@ def cosine_pairs_lsh(
             .select(F.col("id").alias("mid"), "rep")
             .persist()
         )
-    # norms computed ONCE over the collapsed reps: the refine joins
-    # this projection twice (id1/id2 sides) and the intra-family
-    # expansion reads it again — all from the persisted reps, so the
-    # fold is a cheap JVM projection per use, never a rescan of emb
-    vecs = (
-        reps.withColumn("_v", F.expr(_TO_D.format(a="v")))
-        .withColumn("_n", _norm_udf()(F.col("_v")))
-        .select("id", "_v", "_n")
-    )
+    # the refine joins this raw projection twice (id1/id2 sides) and
+    # the intra-family expansion reads it again — all from the
+    # persisted reps. Norms are folded into the fused _cos_udf at the
+    # scoring sites (one ArrowEvalPython instead of a norm-UDF stage
+    # plus a dot-UDF stage), and the joins carry float32 vectors
+    # instead of cast double arrays.
+    vecs = reps.select("id", F.col("v").alias("_r"))
     # Arrow UDF, not the inline SQL expression: the 16-plane x 64-term
     # codegen expression costs ~10 s to compile cold; the UDF
     # accumulates dimensions SEQUENTIALLY (vectorized across rows and
@@ -632,28 +630,19 @@ def cosine_pairs_lsh(
         .agg(F.min("band").alias("_first_band"))
         .select("id1", "id2")
     )
-    v1 = vecs.select(
-        F.col("id").alias("id1"), F.col("_v").alias("_v1"), F.col("_n").alias("_n1")
-    )
-    v2 = vecs.select(
-        F.col("id").alias("id2"), F.col("_v").alias("_v2"), F.col("_n").alias("_n2")
-    )
+    v1 = vecs.select(F.col("id").alias("id1"), F.col("_r").alias("_r1"))
+    v2 = vecs.select(F.col("id").alias("id2"), F.col("_r").alias("_r2"))
 
-    # dot product via the shared vectorized pandas UDF (identical
-    # left fold — see _pair_dot_udf). A JVM cos column would be pushed
-    # into the join condition by the threshold filter, where the
-    # interpreted 64-term fold re-evaluates ~3x per probed pair; a UDF
-    # column is structurally extracted out.
+    # cosine via the fused pandas UDF (identical sequential folds —
+    # see _cos_udf). A JVM cos column would be pushed into the join
+    # condition by the threshold filter, where the interpreted 64-term
+    # fold re-evaluates ~3x per probed pair; a UDF column is
+    # structurally extracted out.
     rep_pairs = (
         cand.join(v1, "id1")
         .join(v2, "id2")
         .withColumn(
-            "cos",
-            F.round(
-                _pair_dot_udf()(F.col("_v1"), F.col("_v2"))
-                / (F.sqrt(F.col("_n1")) * F.sqrt(F.col("_n2"))),
-                6,
-            ),
+            "cos", F.round(_cos_udf()(F.col("_r1"), F.col("_r2")), 6)
         )
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
@@ -688,10 +677,13 @@ def cosine_pairs_lsh(
             F.col("b.mid").alias("id2"),
             F.col("a.rep").alias("id"),
         )
-        .join(vecs.select("id", "_n"), "id")
+        .join(vecs, "id")
         .withColumn(
+            # self-cosine dot(v,v)/(sqrt(n)*sqrt(n)) through the same
+            # fused fold — identical to the n/(sqrt(n)*sqrt(n)) the
+            # oracle evaluates (dot(v,v) IS the norm fold)
             "cos",
-            F.round(F.col("_n") / (F.sqrt(F.col("_n")) * F.sqrt(F.col("_n"))), 6),
+            F.round(_cos_udf()(F.col("_r"), F.col("_r")), 6),
         )
         .filter(F.col("cos") >= threshold)
         .select("id1", "id2", "cos")
