@@ -351,7 +351,15 @@ def radius_join(
     par = spark.sparkContext.defaultParallelism
     if pts.rdd.getNumPartitions() < par:
         pts = pts.repartition(par)
-    pts = pts.withColumn("cell", hex_cell_udf(res)(F.col("lat"), F.col("lon")))
+    # coalesce = non-nullable key fence (see pip_join): stops the
+    # cover join's inferred isnotnull(cell) from materializing a
+    # second geocode ArrowEvalPython; the UDF never returns null
+    pts = pts.withColumn(
+        "cell",
+        F.coalesce(
+            hex_cell_udf(res)(F.col("lat"), F.col("lon")), F.lit(0)
+        ),
+    )
     qmeta = spark.createDataFrame(
         queries[["qid", "lat", "lon"]], schema="qid long, lat double, lon double"
     ).select("qid", F.col("lat").alias("qlat"), F.col("lon").alias("qlon"))

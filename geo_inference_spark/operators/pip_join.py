@@ -203,8 +203,17 @@ def pip_join(
         # 61.5 s for the withColumn SQL-expr variant (the axial-
         # rounding expression tree stays 8x slower even computed once
         # per row outside the join key)
+        # coalesce = non-nullable key fence: the inner join otherwise
+        # infers isnotnull(_cell) as a pre-join Filter that
+        # materializes a SECOND ArrowEvalPython geocoding every point
+        # (plan-verified); latlng_to_cell never returns null so the
+        # value is unchanged
         pts_r = pts.withColumn(
-            "_cell", hex_cell_udf(int(r))(F.col(lat_col), F.col(lon_col))
+            "_cell",
+            F.coalesce(
+                hex_cell_udf(int(r))(F.col(lat_col), F.col(lon_col)),
+                F.lit(0),
+            ),
         )
         j = pts_r.join(
             F.broadcast(cov_r), on=pts_r["_cell"] == cov_r["cell"], how="inner"
