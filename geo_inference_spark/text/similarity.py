@@ -34,79 +34,21 @@ _DOT = (
 _TO_D = "transform({a}, x -> cast(x as double))"
 
 
-_NORM_UDF = None
-
-
-def _norm_udf():
-    """Sum of squares with the SAME sequential left fold as the _DOT
-    SQL expression (acc += v[j]*v[j] over dims — identical float64 op
-    order, the established oracle contract). The interpreted 64-term
-    zip_with/aggregate tree cost ~1 ms/row (~20 core-s per 20k-row
-    projection, measured); the vectorized fold is ~1000x cheaper.
-    Created lazily: pandas_udf needs an active session."""
-    global _NORM_UDF
-    if _NORM_UDF is None:
-        from pyspark.sql.types import DoubleType
-
-        @F.pandas_udf(DoubleType())
-        def norm(v: pd.Series) -> pd.Series:
-            if not len(v):
-                return pd.Series(np.empty(0, np.float64))
-            m = np.stack(v.to_numpy()).astype(np.float64)
-            acc = np.zeros(len(m))
-            for j in range(m.shape[1]):  # sequential == SQL fold
-                acc += m[:, j] * m[:, j]
-            return pd.Series(acc)
-
-        _NORM_UDF = norm
-    return _NORM_UDF
-
-
-def _with_norm(df: DataFrame, vec_col: str) -> DataFrame:
-    v = _TO_D.format(a=vec_col)
-    return df.withColumn("_v", F.expr(v)).withColumn(
-        "_n", _norm_udf()(F.col("_v"))
-    )
-
-
-_PAIR_DOT_UDF = None
-
-
-def _pair_dot_udf():
-    """Dot product of two vector columns with the identical sequential
-    left fold as the _DOT SQL expression (see _norm_udf)."""
-    global _PAIR_DOT_UDF
-    if _PAIR_DOT_UDF is None:
-        from pyspark.sql.types import DoubleType
-
-        @F.pandas_udf(DoubleType())
-        def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
-            if not len(a):
-                return pd.Series(np.empty(0, np.float64))
-            ma = np.stack(a.to_numpy()).astype(np.float64)
-            mb = np.stack(b.to_numpy()).astype(np.float64)
-            acc = np.zeros(len(ma))
-            for j in range(ma.shape[1]):  # sequential == SQL fold
-                acc += ma[:, j] * mb[:, j]
-            return pd.Series(acc)
-
-        _PAIR_DOT_UDF = pair_dot
-    return _PAIR_DOT_UDF
-
-
 _COS_UDF = None
 
 
 def _cos_udf():
     """Full cosine quotient dot/(sqrt(na)*sqrt(nb)) of two raw vector
-    columns in ONE pandas UDF. The dot and both norms are the same
-    sequential left folds as _norm_udf/_pair_dot_udf, and sqrt,
+    columns in ONE pandas UDF. The dot and both norms accumulate
+    SEQUENTIALLY over dimensions — the identical float64 left fold as
+    the _DOT SQL expression and the DuckDB oracles — and sqrt,
     multiply and divide are single correctly-rounded IEEE-754 double
     ops wherever they run, so the value is bit-identical to the split
     norm-column + dot-column formulation — while the plan pays one
     ArrowEvalPython stage instead of a chain of three (norm(a) before
     the join, norm(b) on the query side, dot after), which dominated
-    the small top-k queries."""
+    the small top-k queries. Created lazily: pandas_udf needs an
+    active session."""
     global _COS_UDF
     if _COS_UDF is None:
         from pyspark.sql.types import DoubleType
