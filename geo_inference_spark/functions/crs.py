@@ -165,7 +165,18 @@ def utm_to_lonlat(easting: float, northing: float, epsg: int) -> tuple[float, fl
         phi -= step
         if abs(step) < 1e-15:
             break
-    return lon0 + math.degrees(lam), math.degrees(phi)
+    return _norm_lon(lon0 + math.degrees(lam)), math.degrees(phi)
+
+
+def _norm_lon(lon: float) -> float:
+    """Wrap an inverse-projection longitude into [-180, 180].
+
+    ``lon0 + degrees(lam)`` leaves the range when the point sits
+    across the antimeridian from the projection center (e.g. LAEA
+    Europe lon0=10 inverting a lon=-170 point to 190 — caught by the
+    round-trip property test). IEEE ``math.remainder`` is exact, so
+    in-range longitudes pass through bit-identical."""
+    return math.remainder(lon, 360.0)
 
 
 # ------------------------------------------------- conic / azimuthal
@@ -251,7 +262,7 @@ class _LCC2SP:
         rho = math.copysign(math.hypot(xp, yp), self.n)
         t = (rho / (_GRS80_A * self.F)) ** (1 / self.n)
         th = math.atan2(xp, yp)
-        return (math.degrees(self.lon0 + th / self.n),
+        return (_norm_lon(math.degrees(self.lon0 + th / self.n)),
                 math.degrees(_phi_from_t(t)))
 
 
@@ -280,7 +291,7 @@ class _Albers2SP:
         rho = math.hypot(xp, yp)
         q = (self.C - (rho * self.n / _GRS80_A) ** 2) / self.n
         th = math.atan2(xp, yp)
-        return (math.degrees(self.lon0 + th / self.n),
+        return (_norm_lon(math.degrees(self.lon0 + th / self.n)),
                 math.degrees(_phi_from_q(q)))
 
 
@@ -325,7 +336,7 @@ class _LAEA:
             self.D * rho * math.cos(self.b0) * math.cos(ce)
             - self.D * self.D * yp * math.sin(self.b0) * math.sin(ce),
         )
-        return (math.degrees(self.lon0 + lam),
+        return (_norm_lon(math.degrees(self.lon0 + lam)),
                 math.degrees(_phi_from_q(self.qp * math.sin(b))))
 
 
