@@ -23,7 +23,6 @@ shuffled hash join with AQE skew splitting.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -389,26 +388,28 @@ def jaccard_verified_pairs(
     # extra exchange moves only (id1, id2) keys.
     pairs = pairs.repartition(par)
     # jaccard on distinct sets: union = n1 + n2 - inter (identity), so
-    # a pair pays ONE set intersection. The intersection size comes
-    # from a pandas UDF rather than array_intersect: a JVM expression
-    # is collapsed into the broadcast-join CONDITION by the threshold
-    # filter, where it was evaluated 3x per probed pair (+2x in the
-    # output project) inside one huge generated method the JVM
-    # intermittently refused to JIT (DontCompileHugeMethods) — the
-    # measured 5 s vs 20-56 s bimodality of this query. The UDF column
-    # is structurally extracted above the join (the cosine_pairs_lsh
-    # fence), the joins stay pure hash probes, and both arrays are
-    # already distinct so the cardinality is exact on either the int64
-    # hash sets or the string fallback.
-    @F.pandas_udf("long")
-    def inter_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        out = []
-        for x, y in zip(a, b):
-            if x is None or y is None:
-                out.append(None)  # matches null-propagating SQL
-            else:
-                out.append(np.intersect1d(x, y).size)
-        return pd.Series(out, dtype="Int64")
+    # a pair pays ONE set intersection. The intersect is JVM
+    # array_intersect behind a NONDETERMINISTIC fence: a bare JVM
+    # expression is collapsed into the broadcast-join CONDITION by the
+    # threshold filter, where it was evaluated 3x per probed pair
+    # (+2x in the output project) inside one huge generated method the
+    # JVM intermittently refused to JIT (DontCompileHugeMethods) — the
+    # measured 5 s vs 20-56 s bimodality of this query. Wrapping the
+    # size in a ONE-ELEMENT shuffle() makes the projection
+    # nondeterministic so the filter cannot be pushed through it (a
+    # rand()-based always-true guard is folded away — Spark 4 knows
+    # rand's range) — the joins stay pure hash probes and the
+    # intersect runs ONCE per pair, in the JVM (no Arrow ship of the
+    # 1M-pair array columns a pandas UDF was measured to cost:
+    # 2.2-4.5 s vs 1.3 s on 1.19M candidates). Values are unchanged:
+    # shuffling a single-element array is the identity and
+    # array_intersect on already-distinct sets is the exact
+    # cardinality on either the int64 hash sets or the string
+    # fallback; size(null)=null propagates like the SQL expression.
+    def inter_fenced(a, b):
+        return F.element_at(
+            F.shuffle(F.array(F.size(F.array_intersect(a, b)))), 1
+        ).cast("long")
 
     inter = F.col("_int")
     uni = F.col("n1") + F.col("n2") - inter
@@ -426,7 +427,7 @@ def jaccard_verified_pairs(
                       F.col("_nd").alias("n2")),
             "id2",
         )
-        .withColumn("_int", inter_udf(F.col("s1"), F.col("s2")))
+        .withColumn("_int", inter_fenced(F.col("s1"), F.col("s2")))
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")

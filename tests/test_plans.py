@@ -143,18 +143,25 @@ def test_top_tokens_partial_agg_before_shuffle(spark):
 
 
 def test_jaccard_intersect_not_in_join_condition(spark):
-    """The verify intersect must be an ArrowEvalPython COLUMN, never a
-    JVM expression the threshold filter collapses into the broadcast
-    join condition — there it was evaluated 3x per probed pair inside
-    a generated method big enough that HotSpot intermittently refused
-    to JIT it (the measured 5 s vs 20-56 s bimodality, r6)."""
+    """The verify intersect must be evaluated ONCE, in a Project above
+    the joins — never collapsed by the threshold filter into the
+    broadcast join condition, where it was evaluated 3x per probed
+    pair inside a generated method big enough that HotSpot
+    intermittently refused to JIT it (the measured 5 s vs 20-56 s
+    bimodality, r6). The rand() fence makes the projection
+    nondeterministic so the filter cannot be pushed through it; the
+    intersect stays a single JVM expression (no Arrow ship of the
+    per-pair array columns)."""
     from geo_inference_spark.text.dedup import jaccard_verified_pairs, release
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = jaccard_verified_pairs(docs, threshold=0.5)
     plan = plan_of(out)
-    assert "array_intersect" not in plan
-    assert "ArrowEvalPython" in plan
+    # exactly one evaluation site, and it is not a join condition
+    assert plan.count("array_intersect") == 1, plan
+    for ln in plan.splitlines():
+        if "Join" in ln:
+            assert "array_intersect" not in ln, ln
     release(out)
 
 
