@@ -89,12 +89,18 @@ def get_spark(
 
 def _warm_python_workers(spark: SparkSession, cores: int) -> None:
     """Start one python worker per task slot and touch the heavy
-    imports (pandas/numpy/pyarrow) plus the first BLAS gemm ONCE at
-    session build, instead of letting whichever query happens to run
-    the first pandas-UDF stage pay the fork+import+init cost
-    (measured ~6 s landing on the first geocode query of a fresh
-    session). Runs once per session; skip with
-    SPARK_GRAFT_NO_WORKER_WARM=1 (e.g. for UDF-free jobs)."""
+    imports (pandas/numpy/pyarrow plus this engine's own operator
+    modules) and the first BLAS gemm ONCE at session build, instead
+    of letting whichever query happens to run the first pandas-UDF
+    stage pay the fork+import+init cost (measured ~6 s landing on the
+    first geocode query of a fresh session). A second tiny job warms
+    the JVM query machinery the first real queries otherwise pay for
+    one by one — the codegen compiler (janino), BroadcastHashJoin,
+    HashAggregate, Window and Sort exec classes (measured ~3 s spread
+    over the first queries of a fresh session). Both run on synthetic
+    range data — no input table is touched and nothing is cached.
+    Runs once per session; skip with SPARK_GRAFT_NO_WORKER_WARM=1
+    (e.g. for UDF-free jobs)."""
     if os.environ.get("SPARK_GRAFT_NO_WORKER_WARM"):
         return
     if getattr(spark, "_graft_workers_warm", False):
@@ -104,6 +110,22 @@ def _warm_python_workers(spark: SparkSession, cores: int) -> None:
         import numpy as _np
         import pandas as _pd  # noqa: F401
 
+        # engine modules the pandas UDFs resolve by reference: import
+        # them once per worker now so the first geocode/refine/decode
+        # batch of a real query does not pay the package import
+        for _m in (
+            "geo_inference_spark.operators.pip_join",
+            "geo_inference_spark.operators.geocode",
+            "geo_inference_spark.grid.hexgrid",
+            "geo_inference_spark.geom.wkb",
+            "geo_inference_spark.raster.polygonize",
+            "geo_inference_spark.sources.jpeg",
+            "geo_inference_spark.text.dedup",
+        ):
+            try:
+                __import__(_m)
+            except Exception:
+                pass
         a = _np.random.rand(64, 64)
         a @ a  # first gemm initializes the BLAS runtime
         for b in batches:
@@ -113,6 +135,28 @@ def _warm_python_workers(spark: SparkSession, cores: int) -> None:
         spark.range(0, cores, 1, cores).mapInPandas(
             _warm, "id long"
         ).count()
+        # JVM exec-path warm: broadcast join + hash agg + window +
+        # sort in one small action over range data
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as _F
+
+        a = spark.range(0, 10000).select(
+            "id", (_F.col("id") % 97).alias("k")
+        )
+        b = spark.range(0, 97).select(_F.col("id").alias("k"))
+        (
+            a.join(_F.broadcast(b), "k")
+            .groupBy("k")
+            .agg(_F.count(_F.lit(1)).alias("n"), _F.max("id").alias("m"))
+            .withColumn(
+                "rn",
+                _F.row_number().over(
+                    _W.partitionBy(_F.col("k") % 7).orderBy(_F.desc("n"))
+                ),
+            )
+            .orderBy("k")
+            .count()
+        )
     except Exception:
         pass  # warm-up must never fail session creation
     spark._graft_workers_warm = True
