@@ -142,6 +142,7 @@ def connected_components(
     edges: DataFrame,
     max_iters: int = 64,
     driver_threshold: int = 5_000_000,
+    identity_seeds: bool = False,
 ) -> DataFrame:
     """CC over the BORDER graph: nodes (nid, seed), undirected edges
     (nid1, nid2) -> (nid, gid) with gid = min seed of the component.
@@ -151,6 +152,11 @@ def connected_components(
     component size)); it works on the border graph, which is
     O(tile perimeter) — ~3 orders of magnitude smaller. Interior
     components keep gid = seed via the final left join.
+
+    ``identity_seeds=True`` declares seed == nid for every node (the
+    dedup-clusters shape); the border nodes' seeds are then known from
+    the edge endpoints alone, so the driver regime skips the
+    nodes-join collect job entirely.
 
     Two regimes by measured edge count:
     * border graph fits the driver comfortably (< driver_threshold
@@ -186,10 +192,17 @@ def connected_components(
         e1 = ep.iloc[:, 0].to_numpy(np.int64)
         e2 = ep.iloc[:, 1].to_numpy(np.int64)
         ids = np.unique(np.concatenate([e1, e2]))
-        bdf = spark.createDataFrame(
-            pd.DataFrame({"nid": ids if len(ids) else np.array([-1], np.int64)})
-        )
-        bs = nodes.join(bdf, "nid").toPandas()
+        if identity_seeds:
+            bn_arr, bseed_arr = ids, ids
+        else:
+            bdf = spark.createDataFrame(
+                pd.DataFrame(
+                    {"nid": ids if len(ids) else np.array([-1], np.int64)}
+                )
+            )
+            bs = nodes.join(bdf, "nid").toPandas()
+            bn_arr = bs["nid"].to_numpy(np.int64)
+            bseed_arr = bs["seed"].to_numpy(np.int64)
         m = len(ids)
         a = np.searchsorted(ids, e1)
         b = np.searchsorted(ids, e2)
@@ -208,8 +221,8 @@ def connected_components(
                 break
             lbl = new
         # gid = min seed over each component's border nodes
-        bn = bs["nid"].to_numpy(np.int64)
-        bseed = bs["seed"].to_numpy(np.int64)
+        bn = bn_arr
+        bseed = bseed_arr
         bidx = np.searchsorted(ids, bn)
         comp_min = np.full(m, np.iinfo(np.int64).max, dtype=np.int64)
         np.minimum.at(comp_min, lbl[bidx], bseed)
@@ -233,13 +246,16 @@ def connected_components(
     both = (
         e.union(e.map(lambda kv: (kv[1], kv[0]))).distinct(p).cache()
     )
-    border = both.keys().distinct(p).map(lambda n: (n, None))
-    labels = (
-        nodes.rdd.map(lambda r: (r[0], r[1]))
-        .join(border, p)
-        .mapValues(lambda v: v[0])
-        .cache()
-    )
+    if identity_seeds:  # seed == nid: no nodes join needed
+        labels = both.keys().distinct(p).map(lambda n: (n, n)).cache()
+    else:
+        border = both.keys().distinct(p).map(lambda n: (n, None))
+        labels = (
+            nodes.rdd.map(lambda r: (r[0], r[1]))
+            .join(border, p)
+            .mapValues(lambda v: v[0])
+            .cache()
+        )
     labels.localCheckpoint()
     seeds = labels.map(lambda kv: (kv[1], kv[0])).cache()  # seed -> owner nid
     for _ in range(max_iters):

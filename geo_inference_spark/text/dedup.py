@@ -275,7 +275,16 @@ def lsh_collapsed_pairs(
     rep_pairs = lsh_candidate_pairs(
         rep_docs, id_col, num_hashes, rows_per_band, k, col, max_bucket
     )
-    out = edges.unionByName(rep_pairs).distinct()
+    # no distinct over the union: the two legs are provably disjoint
+    # and each is duplicate-free. Family edges have id2 = a NON-rep
+    # member (filtered id != rep; every doc belongs to exactly one
+    # md5 family, so a non-rep member is no family's rep), while
+    # rep_pairs contains only rep ids on both sides; and edges is
+    # unique by id2 (one fam row per doc, one rep per hash) while
+    # rep_pairs is distinct by construction. The removed distinct
+    # cost a full exchange + two hash-agg passes over the ~1M-row
+    # edge set in every consumer (collapsed/clusters/keep_best).
+    out = edges.unionByName(rep_pairs)
     if sort:  # edge-set consumers (CC) skip the global sort
         out = out.orderBy("id1", "id2")
     return attach(out, *getattr(rep_pairs, "_cached_deps", []))
@@ -603,7 +612,7 @@ def dedup_clusters(
         F.col("id1").alias("nid1"), F.col("id2").alias("nid2")
     )
     return (
-        connected_components(nodes, edges)
+        connected_components(nodes, edges, identity_seeds=True)
         .select(
             F.col("nid").alias("doc_id"), F.col("gid").alias("cluster_id")
         )
