@@ -542,7 +542,16 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     clusters = DD.dedup_clusters(docs)
-    quality = TA.with_quality(docs).select("doc_id", "quality_score")
+    # spread the slim projection before the interpreted quality
+    # expressions: a 1-2-row-group parquet scan is 1-2 partitions, so
+    # the aggregate/transform token folds otherwise run on 2 cores
+    # (event-log measured 0.74 s in a 2-task stage). Conditional — a
+    # real multi-file table keeps its scan partitioning.
+    par = spark.sparkContext.defaultParallelism
+    qsrc = docs.select("doc_id", "text")
+    if qsrc.rdd.getNumPartitions() < par:
+        qsrc = qsrc.repartition(par)
+    quality = TA.with_quality(qsrc).select("doc_id", "quality_score")
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("quality_score"), F.asc("doc_id")
     )
