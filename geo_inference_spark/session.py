@@ -132,9 +132,15 @@ def _warm_python_workers(spark: SparkSession, cores: int) -> None:
             yield b
 
     try:
+        # CHAINED two-eval pipeline: a task with two python eval nodes
+        # (the geocode -> refine shape) holds TWO workers concurrently,
+        # so a pool of `cores` workers forces 32 fresh forks (numpy
+        # import each) onto the first geo query — warm 2x cores by
+        # running the chained shape here (ps-measured: 32 new workers
+        # appeared on the first pages_per_area run before this).
         spark.range(0, cores, 1, cores).mapInPandas(
             _warm, "id long"
-        ).count()
+        ).mapInPandas(_warm, "id long").count()
         # JVM exec-path warm: broadcast join + hash agg + window +
         # sort in one small action over range data
         from pyspark.sql import Window as _W
