@@ -132,15 +132,27 @@ def _warm_python_workers(spark: SparkSession, cores: int) -> None:
             yield b
 
     try:
-        # CHAINED two-eval pipeline: a task with two python eval nodes
-        # (the geocode -> refine shape) holds TWO workers concurrently,
-        # so a pool of `cores` workers forces 32 fresh forks (numpy
-        # import each) onto the first geo query — warm 2x cores by
-        # running the chained shape here (ps-measured: 32 new workers
-        # appeared on the first pages_per_area run before this).
+        # CHAINED three-eval pipeline: a task holds one python worker
+        # PER eval node in its pipeline, so the deepest chains in the
+        # workload (geocode -> refine; forge -> extract -> decode = 3)
+        # need up to 3x cores workers concurrently — a pool of only
+        # `cores` forced waves of fresh forks (numpy import each) onto
+        # the first deep query (ps-measured: +32 workers on the first
+        # pages_per_area, +33 more on the first warc_pipeline). Warm
+        # the 3-deep shape once here.
         spark.range(0, cores, 1, cores).mapInPandas(
             _warm, "id long"
-        ).mapInPandas(_warm, "id long").count()
+        ).mapInPandas(_warm, "id long").mapInPandas(_warm, "id long").count()
+        # the RDD API (executor-side forges, big-regime CC) draws from
+        # a separate python worker pool — touch it once too
+        def _warm_rdd(it):
+            import numpy  # noqa: F401
+            import pandas  # noqa: F401
+            return it
+
+        spark.sparkContext.parallelize(
+            range(cores), cores
+        ).mapPartitions(_warm_rdd).count()
         # JVM exec-path warm: broadcast join + hash agg + window +
         # sort in one small action over range data
         from pyspark.sql import Window as _W
